@@ -1,0 +1,64 @@
+"""The three analyzer implementations (Python / Spark JVM / DuckDB SQL)
+must produce identical token streams — BM25 rank-identity depends on it
+(SURVEY.md §7 R5)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from visionsearch_spark.analyzer import duckdb_tokens, tokenize, tokens_col
+
+CASES = [
+    "Hello, World! 42 times",
+    "join a filter window row",
+    "CAFÉ naïve über",
+    "...!!!",
+    "",
+    None,
+    "a.b!c?d e\tf\ng",
+    "MiXeD CaSe 123abc ABC123",
+    "trailing space ",
+    " léading",
+]
+
+
+def test_python_tokenizer_basics():
+    assert tokenize("Hello, World!") == ["hello", "world"]
+    assert tokenize("") == []
+    assert tokenize(None) == []
+    assert tokenize("CAFÉ") == ["caf"]  # accents are separators per frozen spec
+    assert tokenize("a1b2 c3") == ["a1b2", "c3"]
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(CASES)], "i int, text string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens_col("text").alias("toks")).collect()
+    }
+    for i, c in enumerate(CASES):
+        expected = tokenize(c)
+        assert (got[i] or []) == expected, f"case {i!r}: {c!r}"
+
+
+def test_duckdb_matches_python():
+    con = duckdb.connect()
+    for i, c in enumerate(CASES):
+        if c is None:
+            continue
+        (res,) = con.execute(
+            f"select {duckdb_tokens('?')}", [c]
+        ).fetchone()
+        assert (res or []) == tokenize(c), f"case {i!r}: {c!r}"
+
+
+def test_fixture_corpus_spark_python_parity(spark, transcripts, transcripts_pdf):
+    got = (
+        transcripts.select("conv_id", "turn_idx", tokens_col("text").alias("toks"))
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])["toks"]
+        .to_dict()
+    )
+    for row in transcripts_pdf.itertuples(index=False):
+        assert list(got[(row.conv_id, row.turn_idx)]) == tokenize(row.text)

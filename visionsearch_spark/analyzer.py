@@ -1,0 +1,65 @@
+"""The frozen analyzer: one tokenization spec, three interchangeable impls.
+
+Spec (FIXTURES.md §5; rank-identity of BM25 depends on never changing it):
+    NFC normalize -> lowercase -> split on any run of chars outside
+    [0-9a-z] -> drop empty tokens. No stemming, no stopwords.
+
+Reference precedent: lowercase-normalize at
+`/root/reference/visionsearch/common_utils/embedding/__init__.py:6` and the
+sentence-split regex at
+`/root/reference/visionsearch/scripts/generate_captions.py:95`.
+
+Three implementations, proven equal by tests/test_analyzer.py:
+
+* :func:`tokenize` — pure Python; used by the exhaustive-BM25 oracle.
+* :func:`tokens_col` — Spark Column expression (JVM-side, whole-stage
+  codegen; the hot path — no Python crosses the executor boundary).
+* :data:`DUCKDB_TOKENS_SQL` — DuckDB SQL fragment for the driver oracle.
+
+For ASCII-dominant corpora the three agree exactly: any non-[0-9a-z]
+codepoint (including all accented/NFC-affected chars) is a separator in
+all three engines, so NFC differences never reach a token.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SEP_RE = re.compile(r"[^0-9a-z]+")
+# Java regex (Spark) — identical semantics for this class.
+TOKEN_SEP_JAVA = "[^0-9a-z]+"
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Pure-Python analyzer (oracle + query-side parsing on the driver)."""
+    if not text:
+        return []
+    text = unicodedata.normalize("NFC", text).lower()
+    return [t for t in TOKEN_SEP_RE.split(text) if t]
+
+
+def tokens_col(col: Column | str) -> Column:
+    """JVM-side analyzer: array<string> of tokens, empties removed.
+
+    Stays inside WholeStageCodegen — F.split/filter are codegen'd; no
+    Python UDF in the build or query hot path (the reference's
+    batch-size-1 Python loop at `aisearch/core.py:33-40` is the
+    anti-pattern this kills).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SEP_JAVA), lambda t: t != "")
+
+
+# DuckDB fragment: substitute {col}. list_filter drops the empty strings
+# regexp_split_to_array produces at string edges.
+DUCKDB_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'), t -> t <> '')"
+)
+
+
+def duckdb_tokens(col: str) -> str:
+    return DUCKDB_TOKENS_SQL.format(col=col)

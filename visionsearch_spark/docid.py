@@ -1,0 +1,60 @@
+"""Deterministic docID assignment: (conv_id, turn_idx) -> dense int64.
+
+Invariant: docid == position in global (conv_id ASC, turn_idx ASC) order —
+the distributed analog of the reference's sorted-glob enumerate
+(`/root/reference/visionsearch/common_utils/aisearch/main.py:28-33`) and of
+the `embedding_index` write-back
+(`common_utils/adapters/django_adapter.py:10-12`).
+
+Scale recipe (SURVEY.md §7 B2): a single global `row_number()` window would
+funnel 10^12 rows through ONE task. Instead:
+  1. `repartitionByRange(conv_id, turn_idx)` — range-partitioned shuffle
+     (Spark samples split points; each partition holds a contiguous key
+     range, ordered ACROSS partitions by construction).
+  2. per-partition counts -> prefix-sum offsets on the driver (tiny: one
+     int per partition).
+  3. `row_number()` windowed BY partition id (parallel, no global funnel)
+     + broadcast-joined offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def assign_docids(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Add int64 `docid` == row_number-1 over global (conv_id, turn_idx) order.
+
+    Returns the input columns + `docid`, range-partitioned and sorted
+    within partitions by key (downstream SPIMI relies on that ordering).
+
+    The ranged frame is persisted before the counts pass: range boundaries
+    come from sampling, so without pinning them the offsets job and the
+    row_number job could see different partitionings. In a production
+    build this materialization IS the docmap staging write; callers that
+    need the memory back unpersist via the returned plan's lineage.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ranged.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("docid", F.col("_offset") + F.col("_rn") - F.lit(1))
+        .drop("_pid", "_rn", "_offset")
+    )
