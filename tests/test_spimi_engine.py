@@ -1,0 +1,144 @@
+"""Optimized SPIMI/block-max path: rank identity vs the exhaustive oracle,
+resume-after-failure, manifest metrics, and segment structure invariants
+(SURVEY.md §5.2.1/2/4)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from visionsearch_spark.index.codec import decode_docids
+from visionsearch_spark.index.spimi import BLOCK_SIZE, build_index
+from visionsearch_spark.index.store import IndexStore
+from visionsearch_spark.oracle import oracle_search
+from visionsearch_spark.query.wand import batch_topk, topk
+
+REL_TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def built_store(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    return build_index(transcripts, root, n_partitions=8, n_shards=16)
+
+
+def test_meta_and_manifest_metrics(built_store, oracle_index):
+    meta = built_store.read_meta()
+    assert meta["phase"] == "built"
+    assert meta["n_docs"] == oracle_index.n_docs
+    assert math.isclose(meta["avgdl"], oracle_index.avgdl, rel_tol=1e-12)
+    manifests = [m for m in built_store.manifests() if m["status"] == "done"]
+    assert manifests, "no committed partitions"
+    total_postings = sum(m["postings_written"] for m in manifests)
+    # postings == number of distinct (term, doc) pairs == sum of per-doc vocab
+    expected = sum(len(c) for c in oracle_index.tfs)
+    assert total_postings == expected
+    assert all(m["bytes_compressed"] > 0 for m in manifests)
+    assert all("fragment" in m["lineage"] for m in manifests)
+
+
+def test_term_stats_match_oracle(spark, built_store, oracle_index):
+    got = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(built_store.term_stats_path).collect()
+    }
+    assert got == dict(oracle_index.df)
+
+
+def test_segment_structure(spark, built_store):
+    segs = spark.read.parquet(built_store.segments_path).collect()
+    meta = built_store.read_meta()
+    R = meta["shard_range"]
+    for r in segs:
+        assert 1 <= r["n"] <= BLOCK_SIZE
+        d = decode_docids(r["docids_bin"], r["n"])
+        assert d[0] == r["min_docid"] and d[-1] == r["max_docid"]
+        assert (np.diff(d) > 0).all()  # sorted, no dups
+        assert r["min_docid"] // R == r["max_docid"] // R == r["shard"]
+        assert r["block_max"] > 0
+
+
+def test_rank_identity_full_query_set(spark, built_store, oracle_index, query_set):
+    queries = [
+        (int(r.query_id), r.query_text, int(r.k))
+        for r in query_set.itertuples(index=False)
+    ]
+    got = batch_topk(spark, built_store, queries).collect()
+    by_qid: dict[int, list] = {}
+    for row in got:
+        by_qid.setdefault(row["query_id"], []).append(row)
+    mismatches = []
+    for qid, text, k in queries:
+        expected = oracle_search(oracle_index, text, k=k)
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        if len(rows) != len(expected):
+            mismatches.append((qid, "len", len(rows), len(expected)))
+            continue
+        for g, e in zip(rows, expected):
+            if (g["docid"], g["conv_id"], g["turn_idx"]) != (e[0], e[1], e[2]):
+                mismatches.append((qid, "ids", (g["docid"], g["rank"]), e))
+                break
+            if not math.isclose(g["score"], e[3], rel_tol=REL_TOL):
+                mismatches.append((qid, "score", g["score"], e[3]))
+                break
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"
+
+
+def test_single_query_api(spark, built_store, oracle_index):
+    exp = oracle_search(oracle_index, "xylophone", k=5)
+    got = topk(spark, built_store, "xylophone", k=5).collect()
+    assert [(r["docid"], r["rank"]) for r in got] == [
+        (e[0], i + 1) for i, e in enumerate(exp)
+    ]
+
+
+def test_threshold_filter(spark, built_store, oracle_index):
+    thr = 2.0
+    exp = oracle_search(oracle_index, "join filter stream", k=30, threshold=thr)
+    got = topk(spark, built_store, "join filter stream", k=30, threshold=thr).collect()
+    assert len(got) == len(exp)
+    assert all(r["score"] > thr for r in got)
+
+
+def test_oov_returns_zero_rows(spark, built_store):
+    assert topk(spark, built_store, "zzzznotaword", k=5).count() == 0
+
+
+def test_resume_after_partition_failure(spark, transcripts, tmp_path_factory,
+                                        oracle_index, query_set):
+    """Kill the build mid-way (fault injection on two partitions), verify
+    partial checkpoints survive, rerun to completion, and the resumed index
+    answers rank-identically (ref contract: generate_captions.py:100-102)."""
+    root = str(tmp_path_factory.mktemp("idx_resume"))
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        build_index(transcripts, root, n_partitions=8, n_shards=16,
+                    fail_partitions={2, 5})
+    store = IndexStore(root)
+    done_before = store.done_partitions()
+    assert done_before, "no partitions committed before failure"
+    assert 2 not in done_before and 5 not in done_before
+    store2 = build_index(transcripts, root, n_partitions=8, n_shards=16)
+    assert store2.done_partitions() >= done_before | {2, 5}
+    # resumed index must be fully correct
+    for qid, text, k in [(0, "join filter", 10), (1, "xylophone", 5)]:
+        exp = oracle_search(oracle_index, text, k=k)
+        got = batch_topk(spark, store2, [(qid, text, k)]).collect()
+        got = sorted(got, key=lambda r: r["rank"])
+        assert [(r["docid"],) for r in got] == [(e[0],) for e in exp]
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[3], rel_tol=REL_TOL)
+
+
+def test_rebuild_is_idempotent(spark, transcripts, built_store, tmp_path_factory):
+    """Re-running build on a completed index is a no-op for manifests."""
+    before = {m["partition_id"]: m["ts"] for m in built_store.manifests()
+              if m["status"] == "done"}
+    build_index(transcripts, built_store.root, n_partitions=8, n_shards=16)
+    after = {m["partition_id"]: m["ts"] for m in built_store.manifests()
+             if m["status"] == "done"}
+    assert before == after

@@ -1,0 +1,372 @@
+"""SPIMI index build: per-partition posting construction inside mapInArrow,
+per-partition checkpoint commits, then a docid-range-sharded compaction.
+
+Pipeline (SURVEY.md §3.2 "ours"):
+  1. STAGE    docid assignment (deterministic, docid.py) + JVM tokenize;
+              staged table (pid, docid, conv_id, turn_idx, dl, tokens)
+              written once — pid = docid * n_partitions // n_docs, a pure
+              function of docid, so resume is partition-stable by
+              construction (no dependence on physical partitioning).
+  2. SPIMI    mapInArrow over pid-grouped, docid-sorted rows: accumulate
+              term -> (docids, tfs, dls) per pid with pandas explode +
+              groupby (vectorized — no per-row Python), cut blocks at 128
+              docs AND at docid-shard boundaries (R), delta+varint encode,
+              write fragment parquet + manifest json ATOMICALLY per pid.
+              Already-committed pids are skipped (resume).
+  3. MERGE    fragments -> term_stats (sum of block df) and compacted
+              segments via applyInPandas over (term, shard): blocks of one
+              term have globally disjoint docid ranges, so merging is
+              sort-by-min_docid + re-chunk — never a posting-level merge
+              sort. Sharding by docid range bounds per-task work for hot
+              terms (the salted-repartition skew defense of the north
+              rule: fanout grows with df because a hot term spans more
+              shards).
+  4. COMMIT   segments written partitioned by shard (query-side docid
+              co-location comes from this), meta.json snapshot.
+
+Scale notes: every stage is linear in its partition; nothing funnels
+through the driver except the tiny offsets array (docid.py) and meta.
+At 10^12 turns the knobs are n_partitions (SPIMI fan-out) and n_shards
+(merge/query fan-out); both stream through Arrow batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokens_col
+from visionsearch_spark.bm25 import B, K1
+from visionsearch_spark.docid import assign_docids
+from visionsearch_spark.index.store import (
+    MANIFEST_SCHEMA_DDL,
+    SEGMENT_SCHEMA_DDL,
+    IndexStore,
+)
+
+BLOCK_SIZE = 128
+
+# mapInArrow output must match the declared DDL types EXACTLY (no coercion)
+_MANIFEST_PA_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("status", pa.string()),
+        ("postings_written", pa.int64()),
+        ("terms_merged", pa.int64()),
+        ("bytes_compressed", pa.int64()),
+        ("lineage", pa.string()),
+        ("ts", pa.string()),
+    ]
+)
+
+_FRAGMENT_PA_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("min_docid", pa.int64()),
+        ("max_docid", pa.int64()),
+        ("n", pa.int32()),
+        ("docids_bin", pa.binary()),
+        ("tfs_bin", pa.binary()),
+        ("dls_bin", pa.binary()),
+        ("block_max", pa.float64()),
+    ]
+)
+
+
+def _tf_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
+                        dls: np.ndarray, avgdl: float, shard_range: int
+                        ) -> list[tuple]:
+    """Cut one term's (sorted-by-docid) postings into blocks of <=BLOCK_SIZE
+    that never cross a docid-shard boundary; encode each block."""
+    from visionsearch_spark.index.codec import encode_docids, encode_varint
+
+    rows = []
+    shards = docids // shard_range
+    # boundaries where shard changes
+    cut = np.flatnonzero(shards[1:] != shards[:-1]) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [docids.size]))
+    tfw = _tf_weight_np(tfs, dls, avgdl)
+    for s, e in zip(starts, ends):
+        for b0 in range(s, e, BLOCK_SIZE):
+            b1 = min(b0 + BLOCK_SIZE, e)
+            d = docids[b0:b1]
+            rows.append(
+                (
+                    term,
+                    int(d[0]),
+                    int(d[-1]),
+                    int(b1 - b0),
+                    encode_docids(d),
+                    encode_varint(tfs[b0:b1].astype(np.uint64)),
+                    encode_varint(dls[b0:b1].astype(np.uint64)),
+                    float(tfw[b0:b1].max()),
+                )
+            )
+    return rows
+
+
+def _make_spimi_fn(store_root: str, avgdl: float, shard_range: int,
+                   fail_pids: frozenset[int]):
+    """Returns the mapInArrow function for the SPIMI stage."""
+
+    def spimi(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        store = IndexStore(store_root)
+        acc: list[pd.DataFrame] = []
+        cur_pid: int | None = None
+
+        def flush(pid: int) -> dict:
+            if pid in fail_pids:
+                # test-only: let sibling tasks commit their checkpoints
+                # before this one aborts the job (deterministic resume test)
+                time.sleep(5)
+                raise RuntimeError(f"fault injection: partition {pid}")
+            frag_tmp = store.fragment_path(pid) + ".tmp"
+            man_tmp = store.manifest_path(pid) + ".tmp"
+            if os.path.exists(store.manifest_path(pid)):
+                return {"partition_id": pid, "status": "already-done",
+                        "postings_written": 0, "terms_merged": 0,
+                        "bytes_compressed": 0, "lineage": "{}",
+                        "ts": str(time.time())}
+            pdf = pd.concat(acc, ignore_index=True) if acc else pd.DataFrame(
+                columns=["term", "docid", "tf", "dl"])
+            pdf = pdf.sort_values(["term", "docid"], kind="mergesort")
+            terms = pdf["term"].to_numpy()
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1 if terms.size else np.array([], dtype=np.int64)
+            starts = np.concatenate(([0], bounds)) if terms.size else np.array([], dtype=np.int64)
+            ends = np.concatenate((bounds, [terms.size])) if terms.size else np.array([], dtype=np.int64)
+            rows: list[tuple] = []
+            for s, e in zip(starts, ends):
+                rows.extend(_encode_term_blocks(
+                    str(terms[s]), docids[s:e], tfs[s:e], dls[s:e],
+                    avgdl, shard_range))
+            tbl = pa.Table.from_arrays(
+                [pa.array([r[i] for r in rows], type=f.type)
+                 for i, f in enumerate(_FRAGMENT_PA_SCHEMA)],
+                schema=_FRAGMENT_PA_SCHEMA,
+            )
+            pq.write_table(tbl, frag_tmp, compression="zstd")
+            os.replace(frag_tmp, store.fragment_path(pid))
+            n_bytes = sum(len(r[4]) + len(r[5]) + len(r[6]) for r in rows)
+            manifest = {
+                "partition_id": pid,
+                "status": "done",
+                "postings_written": int(tfs.size),
+                "terms_merged": int(starts.size),
+                "bytes_compressed": int(n_bytes),
+                "lineage": json.dumps({
+                    "fragment": os.path.basename(store.fragment_path(pid)),
+                    "docid_min": int(docids.min()) if docids.size else None,
+                    "docid_max": int(docids.max()) if docids.size else None,
+                    "n_blocks": len(rows),
+                }),
+                "ts": str(time.time()),
+            }
+            with open(man_tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(man_tmp, store.manifest_path(pid))
+            return manifest
+
+        out: list[dict] = []
+        for batch in batches:
+            pdf = batch.to_pandas()
+            for pid, grp in pdf.groupby("pid", sort=True):
+                pid = int(pid)
+                if cur_pid is not None and pid != cur_pid:
+                    out.append(flush(cur_pid))
+                    acc.clear()
+                cur_pid = pid
+                ex = grp[["docid", "dl", "tokens"]].explode("tokens")
+                ex = ex.dropna(subset=["tokens"])
+                counts = (
+                    ex.groupby(["tokens", "docid", "dl"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                    .rename(columns={"tokens": "term"})
+                )
+                acc.append(counts[["term", "docid", "tf", "dl"]])
+        if cur_pid is not None:
+            out.append(flush(cur_pid))
+        if out:
+            tbl = pa.Table.from_pylist(out).select(
+                [f.name for f in _MANIFEST_PA_SCHEMA]
+            ).cast(_MANIFEST_PA_SCHEMA)
+            yield from tbl.to_batches()
+
+    return spimi
+
+
+def build_index(
+    transcripts: DataFrame,
+    root: str,
+    n_partitions: int | None = None,
+    n_shards: int | None = None,
+    fail_partitions: frozenset[int] | set[int] = frozenset(),
+) -> IndexStore:
+    """Build (or resume) the compressed index at `root`.
+
+    `fail_partitions` injects a task failure before the given pids commit —
+    used by the resume tests to simulate an interrupted build
+    (the reference's KeyboardInterrupt-then-rerun contract,
+    `generate_captions.py:100-102`).
+    """
+    spark = transcripts.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    store = IndexStore(root)
+    store.ensure_dirs()
+
+    if not os.path.exists(store.meta_path):
+        with_ids = assign_docids(
+            transcripts.select("conv_id", "turn_idx", "text"), n_partitions
+        )
+        toks = (
+            with_ids.select(
+                "docid", "conv_id", "turn_idx", tokens_col("text").alias("tokens")
+            )
+            .withColumn("dl", F.size("tokens"))
+        )
+        n_docs = toks.count()
+        n_shards_eff = n_shards or max(64, n_partitions)
+        shard_range = max(1, -(-n_docs // n_shards_eff))  # ceil div
+        rows_per_pid = max(1, -(-n_docs // n_partitions))
+        staged = toks.withColumn(
+            "pid", (F.col("docid") / F.lit(rows_per_pid)).cast("int")
+        )
+        staged.write.mode("overwrite").parquet(store.staged_path)
+        sdf = spark.read.parquet(store.staged_path)
+        sdf.select("docid", "conv_id", "turn_idx", "dl").write.mode(
+            "overwrite"
+        ).parquet(store.docmap_path)
+        avgdl = sdf.agg(F.avg("dl")).collect()[0][0] or 0.0
+        store.write_meta(
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "shard_range": shard_range,
+                "n_partitions": n_partitions,
+                "n_shards": n_shards_eff,
+                "block_size": BLOCK_SIZE,
+                "phase": "staged",
+            }
+        )
+    meta = store.read_meta()
+
+    # ---- SPIMI over pending partitions (resume = skip committed pids) ----
+    done = store.done_partitions()
+    staged = spark.read.parquet(store.staged_path)
+    pending = staged
+    if done:
+        pending = staged.filter(~F.col("pid").isin(sorted(done)))
+    spimi_fn = _make_spimi_fn(
+        store.root, float(meta["avgdl"]), int(meta["shard_range"]),
+        frozenset(fail_partitions),
+    )
+    (
+        pending.select("pid", "docid", "dl", "tokens")
+        .repartition(int(meta["n_partitions"]), "pid")
+        .sortWithinPartitions("pid", "docid")
+        .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
+        .count()  # execute; manifests + fragments are the real output
+    )
+
+    # ---- merge/compact fragments -> term_stats + segments ----
+    frags = (
+        spark.read.schema(SEGMENT_SCHEMA_DDL)
+        .option("pathGlobFilter", "fragment-*.parquet")
+        .parquet(store.fragments_dir)
+    )
+    (
+        frags.groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .write.mode("overwrite")
+        .parquet(store.term_stats_path)
+    )
+    shard_range = int(meta["shard_range"])
+    compacted = _compact_segments(frags, shard_range, float(meta["avgdl"]))
+    (
+        compacted.repartition(int(meta["n_partitions"]), "shard")
+        .sortWithinPartitions("shard", "term", "min_docid")
+        .write.mode("overwrite")
+        .parquet(store.segments_path)
+    )
+    meta["phase"] = "built"
+    store.write_meta(meta)
+    return store
+
+
+def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float) -> DataFrame:
+    """Re-chunk per (term, shard): fragment blocks of one term never overlap
+    in docid and never cross shard boundaries, so compaction is
+    concat-in-min_docid-order + re-chunk to BLOCK_SIZE (a metadata-level
+    merge, never a posting-level merge sort)."""
+    from visionsearch_spark.index.codec import (
+        decode_docids,
+        decode_varint,
+        encode_docids,
+        encode_varint,
+    )
+
+    out_schema = SEGMENT_SCHEMA_DDL + ", shard long"
+
+    def compact(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, shard = key
+        pdf = pdf.sort_values("min_docid")
+        docids = np.concatenate(
+            [decode_docids(b, n) for b, n in zip(pdf["docids_bin"], pdf["n"])]
+        )
+        tfs = np.concatenate(
+            [decode_varint(b, n) for b, n in zip(pdf["tfs_bin"], pdf["n"])]
+        ).astype(np.int64)
+        dls = np.concatenate(
+            [decode_varint(b, n) for b, n in zip(pdf["dls_bin"], pdf["n"])]
+        ).astype(np.int64)
+        rows = []
+        for b0 in range(0, docids.size, BLOCK_SIZE):
+            b1 = min(b0 + BLOCK_SIZE, docids.size)
+            tfw = _tf_weight_np(tfs[b0:b1], dls[b0:b1], avgdl)
+            rows.append(
+                (
+                    term,
+                    int(docids[b0]),
+                    int(docids[b1 - 1]),
+                    int(b1 - b0),
+                    encode_docids(docids[b0:b1]),
+                    encode_varint(tfs[b0:b1].astype(np.uint64)),
+                    encode_varint(dls[b0:b1].astype(np.uint64)),
+                    float(tfw.max()),
+                    int(shard),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "min_docid", "max_docid", "n", "docids_bin",
+                "tfs_bin", "dls_bin", "block_max", "shard",
+            ],
+        )
+
+    return (
+        frags.withColumn(
+            "shard", (F.col("min_docid") / F.lit(shard_range)).cast("long")
+        )
+        .groupBy("term", "shard")
+        .applyInPandas(compact, out_schema)
+    )

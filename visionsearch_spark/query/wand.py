@@ -1,0 +1,255 @@
+"""Top-k BM25 over compressed segments: block-max, vectorized, batch-of-queries.
+
+Design (SURVEY.md §3.1 "our lifecycle"):
+  driver:   tokenize queries (tiny), look up df per term from term_stats,
+            compute idf — broadcast a {query -> [(term, idf)]} plan.
+  executor: segments scan with `term IN (...)` pushed into parquet
+            (file/row-group pruning via sorted term column), explicit
+            repartition by `shard` = docid-range — every block touching a
+            docid lives in exactly one task, so per-partition score sums
+            are FINAL scores (no partial-agg shuffle).
+  mapInArrow: decode blocks (numpy varint), score vectorized in float64,
+            canonical accumulation order (docid, then query-term rank) via
+            lexsort + reduceat — bit-identical to the oracle's summation
+            order (SURVEY.md §7 R2), local top-k per query per partition.
+  global:   row_number window per query over (score desc, conv_id,
+            turn_idx) — k rows per query; ≤ #partitions·k rows ever cross
+            the wire.
+
+Pruning: exact scoring is vectorized rather than doc-at-a-time WAND —
+per the columnar-inverted-index argument (PAPERS.md, ICDE 2025): SIMD
+scoring of whole blocks beats pointer-chasing WAND at low selectivity.
+Block-max metadata still powers two *safe* skips:
+  (1) whole-partition skip when Σ_t idf·max_block_max ≤ threshold;
+  (2) single-term queries: blocks processed in descending block_max order
+      with an exact top-k cutoff (classic block-max pruning, always safe
+      because one term ⇒ block bound is the doc bound).
+The reference's threshold filter (`aisearch/core.py:58,61-63`) maps to the
+`threshold` parameter; OOV queries return 0 rows — never the reference's
+asset_ids[-1] padding bug (`aisearch/core.py:62`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokenize
+from visionsearch_spark.bm25 import idf as idf_fn
+from visionsearch_spark.index.store import IndexStore
+
+RESULT_DDL = "query_id long, rank int, docid long, conv_id string, turn_idx int, score double"
+
+
+def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
+                   avgdl: float, threshold: float):
+    """qplans: [(query_id, [(term, idf, term_rank)], k)]; term_rank is the
+    query-term's position in sorted unique-term order (summation order)."""
+    from visionsearch_spark.bm25 import B, K1
+    from visionsearch_spark.index.codec import decode_docids, decode_varint
+
+    by_term: dict[str, list[tuple[int, float, int]]] = {}
+    for qid, terms, _k in qplans:
+        for t, w, r in terms:
+            by_term.setdefault(t, []).append((qid, w, r))
+    kmap = {qid: k for qid, _t, k in qplans}
+    single_term_q = {
+        qid: terms[0][0] for qid, terms, _k in qplans if len(terms) == 1
+    }
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # gather this partition's blocks per term
+        blocks: dict[str, list[tuple]] = {}
+        for batch in batches:
+            pdf = batch.to_pandas()
+            for row in pdf.itertuples(index=False):
+                if row.term in by_term:
+                    blocks.setdefault(row.term, []).append(
+                        (row.n, row.docids_bin, row.tfs_bin, row.dls_bin,
+                         row.block_max)
+                    )
+        if not blocks:
+            return
+        out_qid: list[np.ndarray] = []
+        out_docid: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+
+        def decode_all(term):
+            ds, ts, ls = [], [], []
+            for n, db, tb, lb, _bm in blocks[term]:
+                ds.append(decode_docids(db, n))
+                ts.append(decode_varint(tb, n).astype(np.float64))
+                ls.append(decode_varint(lb, n).astype(np.float64))
+            d = np.concatenate(ds)
+            tf = np.concatenate(ts)
+            dl = np.concatenate(ls)
+            return d, tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for qid, terms, k in qplans:
+            present = [(t, w, r) for t, w, r in terms if t in blocks]
+            if not present:
+                continue
+            ub = sum(w * max(b[4] for b in blocks[t]) for t, w, _r in present)
+            if ub <= threshold:
+                continue  # safe partition skip: no doc here can pass
+            if qid in single_term_q:
+                t, w, _r = present[0]
+                d, s = _single_term_topk(blocks[t], w, k, threshold, avgdl)
+                if d.size:
+                    out_qid.append(np.full(d.size, qid, dtype=np.int64))
+                    out_docid.append(d)
+                    out_score.append(s)
+                continue
+            # multi-term: exact vectorized scoring, canonical order
+            cat_d, cat_c, cat_r = [], [], []
+            for t, w, r in present:
+                if t not in decoded:
+                    decoded[t] = decode_all(t)
+                d, tfw = decoded[t]
+                cat_d.append(d)
+                cat_c.append(w * tfw)
+                cat_r.append(np.full(d.size, r, dtype=np.int64))
+            d = np.concatenate(cat_d)
+            c = np.concatenate(cat_c)
+            r = np.concatenate(cat_r)
+            order = np.lexsort((r, d))  # primary docid, secondary term rank
+            d, c = d[order], c[order]
+            starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+            uniq = d[starts]
+            sums = np.add.reduceat(c, starts)
+            keep = sums > threshold
+            uniq, sums = uniq[keep], sums[keep]
+            if uniq.size > k:
+                part = np.argpartition(-sums, k - 1)[:k]
+                uniq, sums = uniq[part], sums[part]
+            if uniq.size:
+                out_qid.append(np.full(uniq.size, qid, dtype=np.int64))
+                out_docid.append(uniq)
+                out_score.append(sums)
+        if out_qid:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_qid),
+                        "docid": np.concatenate(out_docid),
+                        "score": np.concatenate(out_score),
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    def _single_term_topk(blks, w, k, thr, avgdl_):
+        """Exact top-k with block-max pruning: descending block_max order,
+        stop when w*block_max can't beat the current kth best."""
+        order = sorted(range(len(blks)), key=lambda i: -blks[i][4])
+        best_d: list[np.ndarray] = []
+        best_s: list[np.ndarray] = []
+        kth = thr
+        count = 0
+        for i in order:
+            n, db, tb, lb, bm = blks[i]
+            if count >= k and w * bm <= kth:
+                break
+            d = decode_docids(db, n)
+            tf = decode_varint(tb, n).astype(np.float64)
+            dl = decode_varint(lb, n).astype(np.float64)
+            s = w * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl_)))
+            keep = s > thr
+            if keep.any():
+                best_d.append(d[keep])
+                best_s.append(s[keep])
+                count += int(keep.sum())
+                if count >= k:
+                    alls = np.concatenate(best_s)
+                    kth = max(kth, np.partition(alls, -k)[-k] if alls.size >= k else thr)
+        if not best_d:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        d = np.concatenate(best_d)
+        s = np.concatenate(best_s)
+        if d.size > k:
+            part = np.argpartition(-s, k - 1)[:k]
+            d, s = d[part], s[part]
+        return d, s
+
+    return score
+
+
+def batch_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[tuple[int, str, int]],
+    threshold: float = 0.0,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """queries: [(query_id, query_text, k)] -> DataFrame(RESULT_DDL).
+
+    One Spark job scores ALL queries (batch-at-a-time amortizes the scan —
+    the opposite of the reference's one-HTTP-request-one-scan loop).
+    """
+    meta = store.read_meta()
+    avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
+    qtoks = {qid: sorted(set(tokenize(text))) for qid, text, _k in queries}
+    all_terms = sorted({t for ts in qtoks.values() for ts_ in [ts] for t in ts})
+    if not all_terms or n_docs == 0:
+        return spark.createDataFrame([], RESULT_DDL)
+    dfs = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(store.term_stats_path)
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    }
+    qplans = []
+    for qid, _text, k in queries:
+        terms = [
+            (t, idf_fn(n_docs, dfs[t]), r)
+            for r, t in enumerate(qtoks[qid])
+            if t in dfs
+        ]
+        if terms:
+            qplans.append((qid, terms, k))
+    if not qplans:
+        return spark.createDataFrame([], RESULT_DDL)
+    hit_terms = sorted({t for _q, ts, _k in qplans for t, _w, _r in ts})
+
+    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    seg = (
+        spark.read.parquet(store.segments_path)
+        .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
+        .select("term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin", "block_max")
+        .repartition(n_tasks, "shard")  # docid-range co-location
+    )
+    partials = seg.mapInArrow(
+        _make_score_fn(qplans, avgdl, threshold),
+        "query_id long, docid long, score double",
+    )
+    docmap = spark.read.parquet(store.docmap_path).select(
+        "docid", "conv_id", "turn_idx"
+    )
+    kdf = spark.createDataFrame(
+        [(qid, k) for qid, _t, k in qplans], "query_id long, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+    )
+    return (
+        partials.join(docmap, "docid")
+        .withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(kdf), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "docid", "conv_id", "turn_idx", "score")
+    )
+
+
+def topk(spark: SparkSession, store: IndexStore, query_text: str, k: int = 5,
+         threshold: float = 0.0) -> DataFrame:
+    """Single-query convenience mirroring `VisionAISearch.search`
+    (`/root/reference/visionsearch/common_utils/aisearch/core.py:58-69`)."""
+    return batch_topk(spark, store, [(0, query_text, k)], threshold).select(
+        "rank", "docid", "conv_id", "turn_idx", "score"
+    )
