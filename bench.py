@@ -78,6 +78,14 @@ def main() -> None:
     corpus_path, n_docs = corpus_parquet(sf_num)
     tx = spark.read.parquet(corpus_path)
 
+    # warm-up: tiny build exercises every code path (JVM JIT, Python worker
+    # pool, parquet writers) so the timed run measures steady-state
+    # throughput — the regime a long-lived cluster actually runs in.
+    warm_root = tempfile.mkdtemp(prefix="vss_bench_warm_")
+    warm_path, _ = corpus_parquet(0.001)
+    build_index(spark.read.parquet(warm_path), warm_root, n_partitions=cpus)
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix="vss_bench_idx_")
     try:
         t0 = time.perf_counter()

@@ -1,0 +1,98 @@
+"""Dedup operators vs pure-Python oracles (exact Jaccard over shingle
+sets) on a corpus with planted near-duplicates."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokenize
+from visionsearch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river edge"),  # near-dup of 0
+    (2, "spark shuffles partitions across executors during wide transformations"),
+    (3, "spark shuffles partitions across executors during wide operations today"),  # near-dup of 2
+    (4, "completely unrelated text about cooking pasta with tomato sauce"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (6, "short text"),
+    (7, "another entirely different document mentioning gradient descent optimization"),
+]
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = tokenize(text)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard_pairs(docs, n=3, tau=0.5):
+    sh = {i: _py_shingles(t, n) for i, t in docs}
+    out = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= tau:
+            out[(ia, ib)] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_df):
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs_df).collect()}
+    assert got[0] == 2          # doc 5 is an exact copy of doc 0
+    assert 5 not in got         # keep-first: 5 collapsed into 0
+    assert sum(got.values()) == len(DOCS)
+
+
+def test_shingles_match_python(docs_df):
+    got = {}
+    for r in shingles(docs_df, n=3).collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    for i, t in DOCS:
+        assert got.get(i, set()) == _py_shingles(t, 3), f"doc {i}"
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    expected = _py_jaccard_pairs(DOCS, n=3, tau=0.5)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, n=3, tau=0.5).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs_df, n=3, tau=0.5).collect()
+    }
+    # verified pairs are a SUBSET of exact pairs (no false positives after
+    # verify) and must include the exact duplicate pair (identical
+    # signatures collide in every band)
+    exact = set(_py_jaccard_pairs(DOCS, n=3, tau=0.5))
+    assert got <= exact
+    assert (0, 5) in got
+
+
+def test_simhash_properties(spark, docs_df):
+    got = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert got[0] == got[5]  # identical docs -> identical simhash
+    ham_near = bin(got[0] ^ got[1]).count("1")
+    ham_far = bin(got[0] ^ got[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc

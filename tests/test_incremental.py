@@ -1,0 +1,73 @@
+"""Incremental append: only-new-docs indexing, unchanged docids for old
+docs, exact scores under refreshed corpus stats (oracle = full rebuild of
+the combined corpus is NOT the contract — arrival-order docids are — so
+the oracle here recomputes BM25 with arrival-order ids)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from visionsearch_spark.fixtures import TRANSCRIPTS_SCHEMA, make_transcripts_pdf
+from visionsearch_spark.index.store import IndexStore
+from visionsearch_spark.oracle import build_oracle_index, oracle_search
+from visionsearch_spark.query.wand import topk
+from visionsearch_spark.streaming.incremental import incremental_build, pending_rows
+
+
+@pytest.fixture(scope="module")
+def halves(transcripts_pdf):
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    first = transcripts_pdf[transcripts_pdf["conv_id"].isin(half)]
+    return first, transcripts_pdf
+
+
+def test_incremental_append(spark, halves, tmp_path_factory):
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_incr"))
+    first = spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA)
+    full = spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA)
+
+    store = incremental_build(first, root, n_partitions=4)
+    n0 = store.read_meta()["n_docs"]
+    assert n0 == len(first_pdf)
+
+    # second call with the full corpus indexes ONLY the delta
+    assert pending_rows(full, store).count() == len(full_pdf) - len(first_pdf)
+    store = incremental_build(full, root, n_partitions=4)
+    meta = store.read_meta()
+    assert meta["n_docs"] == len(full_pdf)
+
+    # docids of the first half are unchanged (append-only id space)
+    docmap = {
+        (r["conv_id"], r["turn_idx"]): r["docid"]
+        for r in spark.read.parquet(store.docmap_path).collect()
+    }
+    first_keys = sorted(
+        first_pdf[["conv_id", "turn_idx"]].itertuples(index=False, name=None)
+    )
+    for i, key in enumerate(first_keys):
+        assert docmap[key] == i
+
+    # third call: nothing pending, store untouched
+    assert pending_rows(full, store).count() == 0
+    incremental_build(full, root, n_partitions=4)
+    assert store.read_meta()["n_docs"] == len(full_pdf)
+
+    # scores are exact under the REFRESHED stats: oracle over the full
+    # corpus (scores don't depend on docid numbering, only tie-break does;
+    # within each increment ids follow (conv_id, turn_idx) order, and the
+    # two queries below have no cross-increment ties)
+    oracle = build_oracle_index(
+        list(full_pdf[["conv_id", "turn_idx", "text"]].itertuples(index=False, name=None))
+    )
+    for q, k in [("xylophone", 5), ("join filter", 10)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp
+        ], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[3], rel_tol=1e-9)

@@ -1,0 +1,72 @@
+"""Text-analysis operators: deterministic outputs vs Python reimplementation."""
+
+from __future__ import annotations
+
+import pytest
+
+from visionsearch_spark.analyzer import tokenize
+from visionsearch_spark.operators.textstats import (
+    FP_MULT,
+    FP_PRIME,
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+)
+
+DOCS = [
+    (0, "The quick brown fox and the lazy dog. It is that simple!"),
+    (1, "der hund und die katze sind nicht ein problem"),
+    (2, "el perro y la casa de que un es"),
+    (3, "le chat est pour le chien et la maison de un"),
+    (4, "xyzzy plugh qwerty"),                      # no markers -> und
+    (5, ""),                                        # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_lang_id(docs_df):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_quality_score(docs_df):
+    got = {r["doc_id"]: r for r in quality_score(docs_df).collect()}
+    for i, text in DOCS:
+        toks = tokenize(text)
+        assert got[i]["n_tokens"] == len(toks), f"doc {i}"
+        assert got[i]["n_punct"] == sum(text.count(c) for c in ".!?")
+        assert got[i]["n_stop"] == sum(1 for t in toks if t in STOPWORDS)
+    assert got[0]["quality"] == 1.0   # long, punctuated, stopworded English
+    assert got[5]["quality"] == 0.0   # empty doc
+    assert 4 not in LANG_MARKERS      # sanity: markers keyed by lang code
+
+
+def _py_fingerprint(all_texts: list[str], text: str) -> int:
+    vocab = sorted({t for x in all_texts for t in tokenize(x)})
+    tid = {t: i + 1 for i, t in enumerate(vocab)}  # dense_rank is 1-based
+    s = 0
+    for pos, t in enumerate(tokenize(text)):
+        h = (FP_MULT * tid[t] + 12345) % FP_PRIME
+        s += (pos + 1) * h
+    return s % FP_PRIME
+
+
+def test_doc_fingerprint_matches_python(docs_df):
+    texts = [t for _i, t in DOCS]
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs_df).collect()}
+    for i, text in DOCS:
+        if not tokenize(text):
+            assert i not in got  # no tokens -> no fingerprint row
+            continue
+        assert got[i] == _py_fingerprint(texts, text), f"doc {i}"

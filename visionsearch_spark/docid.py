@@ -30,7 +30,9 @@ def assign_docids(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
 
 
 def assign_docids_with_count(
-    df: DataFrame, n_partitions: int | None = None
+    df: DataFrame,
+    n_partitions: int | None = None,
+    unpersist_handle: list | None = None,
 ) -> tuple[DataFrame, int]:
     """Add int64 `docid` == row_number-1 over global (conv_id, turn_idx) order;
     also returns the total row count (already known from the offsets pass —
@@ -52,6 +54,8 @@ def assign_docids_with_count(
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if unpersist_handle is not None:
+        unpersist_handle.append(ranged)
     counts = ranged.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, acc = {}, 0
     for r in counts:

@@ -232,11 +232,22 @@ def build_index(
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
     store = IndexStore(root)
     store.ensure_dirs()
+    stage_sec: dict[str, float] = {}
+    t_last = time.perf_counter()
+
+    def mark(name: str) -> None:
+        nonlocal t_last
+        now = time.perf_counter()
+        stage_sec[name] = round(now - t_last, 3)
+        t_last = now
 
     if not os.path.exists(store.meta_path):
+        cache_handle: list = []
         with_ids, n_docs = assign_docids_with_count(
-            transcripts.select("conv_id", "turn_idx", "text"), n_partitions
+            transcripts.select("conv_id", "turn_idx", "text"), n_partitions,
+            unpersist_handle=cache_handle,
         )
+        mark("assign_docids")
         toks = (
             with_ids.select(
                 "docid", "conv_id", "turn_idx", tokens_col("text").alias("tokens")
@@ -253,11 +264,15 @@ def build_index(
             "pid", (F.col("docid") / F.lit(rows_per_pid)).cast("int")
         )
         staged.write.mode("overwrite").parquet(store.staged_path)
+        for cached in cache_handle:  # staged parquet supersedes the cache
+            cached.unpersist()
+        mark("stage_write")
         sdf = spark.read.parquet(store.staged_path)
         sdf.select("docid", "conv_id", "turn_idx", "dl").write.mode(
             "overwrite"
         ).parquet(store.docmap_path)
         avgdl = sdf.agg(F.avg("dl")).collect()[0][0] or 0.0
+        mark("docmap_stats")
         store.write_meta(
             {
                 "n_docs": n_docs,
@@ -288,6 +303,7 @@ def build_index(
         .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
         .count()  # execute; manifests + fragments are the real output
     )
+    mark("spimi")
 
     # ---- merge/compact fragments -> term_stats + segments ----
     frags = (
@@ -301,6 +317,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(store.term_stats_path)
     )
+    mark("term_stats")
     shard_range = int(meta["shard_range"])
     compacted = _compact_segments(frags, shard_range, float(meta["avgdl"]))
     (
@@ -309,7 +326,9 @@ def build_index(
         .write.mode("overwrite")
         .parquet(store.segments_path)
     )
+    mark("compact_write")
     meta["phase"] = "built"
+    meta["stage_sec"] = {**meta.get("stage_sec", {}), **stage_sec}
     store.write_meta(meta)
     return store
 

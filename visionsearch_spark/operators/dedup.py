@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation is join/groupBy-shaped (shuffle on small keys),
+never a cross product; exact verification only runs on candidate pairs.
+Hash functions are plain modular arithmetic over a *term-ID dictionary*
+(dense_rank of distinct tokens) so every operator is expressible in both
+Spark and ANSI SQL — the DuckDB oracle computes bit-identical signatures.
+
+Ops:
+  exact_dedup           hash-groupBy on normalized text (keep-first)
+  shingles              n-gram shingle set per doc (token n-grams)
+  minhash_lsh_pairs     MinHash signatures + banded LSH candidate join +
+                        exact Jaccard verify
+  ngram_jaccard_pairs   exact n-gram Jaccard via shared-shingle join
+                        (|A∩B| from the join, |A|,|B| from per-doc counts)
+  simhash               64-bit SimHash per doc; near-dup = small Hamming
+                        distance on bucketed prefixes
+
+Scale notes: the shared-shingle join shuffles (shingle -> [doc]) pairs;
+frequency-capped shingles (drop df > cap) bound the quadratic blowup of
+hot shingles — the same Zipf-head defense as the index build's salted
+term merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokens_col
+
+# MinHash parameters — mirrored verbatim in the DuckDB oracle SQL.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); products fit int64
+MINHASH_A = [1_103_515_245, 1_234_567_891, 987_654_323, 1_013_904_223,
+             1_664_525, 22_695_477, 214_013, 134_775_813]
+MINHASH_B = [12_345, 54_321, 7_919, 104_729, 1_299_709, 15_485_863,
+             32_452_843, 49_979_687]
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup (group on raw text). Plain hash-groupBy:
+    partial aggregation map-side, one shuffle on the text hash."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle string)."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       tokens_col(text_col).alias("toks"))
+    # sliding window over the token array, JVM-side
+    # sequence(0, x) DESCENDS when x < 0 — guard docs shorter than n
+    idxs = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def shingle_ids(sh: DataFrame) -> DataFrame:
+    """Dictionary-encode shingles: dense_rank over lexicographic order.
+
+    Deterministic and SQL-expressible (the oracle reproduces it exactly);
+    at 10^12 scale the window runs over the *distinct shingle* table which
+    is orders of magnitude smaller than postings, and can be replaced by
+    the two-phase offset recipe of docid.py if it ever dominates."""
+    distinct = sh.select("shingle").distinct()
+    w = Window.orderBy("shingle")
+    dic = distinct.withColumn("sid", F.dense_rank().over(w).cast("long"))
+    return sh.join(dic, "shingle").select("id", "sid")
+
+
+def minhash_signatures(sids: DataFrame) -> DataFrame:
+    """(id, h0..h{N-1}): min over shingle-ids of (a*sid + b) mod p."""
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("sid") + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sids.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, then exact Jaccard verify.
+
+    Returns (id_a < id_b, jaccard >= tau). Candidate pairs come from
+    equality of any band (groupBy band values — a shuffle on tiny keys),
+    so the cross product never materializes.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    sids = shingle_ids(sh)
+    sig = minhash_signatures(sids).cache()
+    rows_per_band = N_HASHES // N_BANDS
+    cands = None
+    for b in range(N_BANDS):
+        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        left = sig.select(F.col("id").alias("id_a"), *cols)
+        right = sig.select(F.col("id").alias("id_b"), *cols)
+        pair = left.join(right, cols).filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+    return _verify_jaccard(cands, sids, tau)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard >= tau for all pairs sharing >=1 shingle.
+
+    |A∩B| = count of shared shingles (join), |A∪B| = |A|+|B|-|A∩B|.
+    max_shingle_df drops ubiquitous shingles from CANDIDATE GENERATION
+    (Zipf-head defense); intersection counts stay exact because the
+    verify step recomputes them from the full shingle sets.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    sids = shingle_ids(sh)
+    gen = sids
+    if max_shingle_df is not None:
+        hot = sids.groupBy("sid").count().filter(F.col("count") > max_shingle_df)
+        gen = sids.join(hot.select("sid"), "sid", "left_anti")
+    a = gen.select(F.col("id").alias("id_a"), "sid")
+    b = gen.select(F.col("id").alias("id_b"), "sid")
+    cands = (
+        a.join(b, "sid").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    return _verify_jaccard(cands, sids, tau)
+
+
+def _verify_jaccard(cands: DataFrame, sids: DataFrame, tau: float) -> DataFrame:
+    sizes = sids.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sids.select(F.col("id").alias("id_a"), "sid")
+    b = sids.select(F.col("id").alias("id_b"), "sid")
+    inter = (
+        cands.join(a, "id_a").join(b, ["id_b", "sid"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 32) -> DataFrame:
+    """SimHash over term-ID hashes: bit_i = sign of Σ_t tf(t)·(±1)_i(t).
+
+    (±1)_i(t) derives from bit i of h(t) = (a1*tid + b1) mod p — identical
+    arithmetic is reproducible in SQL. Returns (id, simhash:long)."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dic = (
+        tf.select("term").distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("term")).cast("long"))
+    )
+    h = tf.join(dic, "term").withColumn(
+        "hash", (F.lit(MINHASH_A[0]) * F.col("tid") + F.lit(MINHASH_B[0]))
+        % F.lit(MINHASH_PRIME)
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hash"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
+    agg = h.groupBy("id").agg(*bit_sums)
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        out = out + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return agg.select("id", out.alias("simhash"))

@@ -1,0 +1,111 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting. Everything is built-in-function arithmetic
+(WholeStageCodegen) — no Python in the hot path — and every op has an
+exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokens_col
+
+FP_PRIME = 2_147_483_647
+FP_MULT = 1_103_515_245
+
+# tiny marker vocabularies for the n-gram/stopword language heuristic;
+# deterministic tie-break: alphabetical language code.
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language scoring; 'und' (undetermined) when no marker
+    hits. Deterministic argmax with alphabetical tie-break."""
+    toks = tokens_col(text_col)
+    d = docs.select(F.col(id_col), toks.alias("_t"))
+    scored = d.select(
+        id_col,
+        *[_count_in(F.col("_t"), ws).alias(f"s_{lang}")
+          for lang, ws in sorted(LANG_MARKERS.items())],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # alphabetical-first argmax: evaluate in reverse so earlier langs win ties
+    for lg in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"s_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(id_col, pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    token count band, mean token length band, stopword presence,
+    terminal punctuation. All pure column arithmetic."""
+    toks = tokens_col(text_col)
+    d = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("_t"),
+    ).select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), "[.!?]", ""))
+         ).alias("n_punct"),
+        F.length(text_col).alias("n_chars"),
+        _count_in(F.col("_t"), STOPWORDS).alias("n_stop"),
+    )
+    mean_tok_len = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 1000), 0.4)
+        .otherwise(0.0)
+        + F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 0.2).otherwise(0.0)
+        + F.when(F.col("n_stop") > 0, 0.2).otherwise(0.0)
+        + F.when(F.col("n_punct") > 0, 0.2).otherwise(0.0)
+    )
+    return d.select(
+        id_col, "n_tokens", "n_punct", "n_stop",
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint:
+        fp = Σ_i (i+1) · h(tid_i)  mod p,   h(t) = (FP_MULT·t + 12345) mod p
+    over the dictionary-encoded token stream (dense_rank of distinct
+    tokens). Exactly reproducible in SQL via unnest WITH ORDINALITY."""
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+    )
+    dic = (
+        pos.select("term").distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("term")).cast("long"))
+    )
+    h = (F.lit(FP_MULT) * F.col("tid") + F.lit(12345)) % F.lit(FP_PRIME)
+    return (
+        pos.join(dic, "term")
+        .groupBy(id_col)
+        .agg(
+            (F.sum((F.col("pos") + 1) * h) % F.lit(FP_PRIME)).alias("fingerprint")
+        )
+    )

@@ -186,11 +186,19 @@ def batch_topk(
     queries: list[tuple[int, str, int]],
     threshold: float = 0.0,
     n_tasks: int | None = None,
+    driver_merge: bool = False,
 ) -> DataFrame:
     """queries: [(query_id, query_text, k)] -> DataFrame(RESULT_DDL).
 
     One Spark job scores ALL queries (batch-at-a-time amortizes the scan —
     the opposite of the reference's one-HTTP-request-one-scan loop).
+
+    driver_merge=True is the low-latency serving path: per-partition
+    top-k candidates (≤ n_tasks·k rows — tiny by construction) are merged
+    on the driver instead of through a shuffle+window, and the docmap
+    lookup becomes a docid-IN-pushdown scan. Identical results: the
+    tie-break (score desc, conv_id, turn_idx) equals (score desc, docid)
+    because docids are assigned in (conv_id, turn_idx) order (docid.py).
     """
     meta = store.read_meta()
     avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
@@ -231,6 +239,29 @@ def batch_topk(
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
+    if driver_merge:
+        rows = partials.collect()
+        kmap = {qid: k for qid, _t, k in qplans}
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append((-r["score"], r["docid"]))
+        merged: list[tuple[int, int, int, float]] = []
+        for qid, cand in by_q.items():
+            cand.sort()
+            for rank, (ns, d) in enumerate(cand[: kmap[qid]], start=1):
+                merged.append((qid, rank, d, -ns))
+        if not merged:
+            return spark.createDataFrame([], RESULT_DDL)
+        hit_ids = sorted({d for _q, _r, d, _s in merged})
+        keymap = {
+            r["docid"]: (r["conv_id"], r["turn_idx"])
+            for r in docmap.filter(F.col("docid").isin(hit_ids)).collect()
+        }
+        out = [
+            (qid, rank, d, keymap[d][0], keymap[d][1], s)
+            for qid, rank, d, s in merged
+        ]
+        return spark.createDataFrame(out, RESULT_DDL)
     kdf = spark.createDataFrame(
         [(qid, k) for qid, _t, k in qplans], "query_id long, k int"
     )
@@ -247,9 +278,10 @@ def batch_topk(
 
 
 def topk(spark: SparkSession, store: IndexStore, query_text: str, k: int = 5,
-         threshold: float = 0.0) -> DataFrame:
+         threshold: float = 0.0, driver_merge: bool = True) -> DataFrame:
     """Single-query convenience mirroring `VisionAISearch.search`
-    (`/root/reference/visionsearch/common_utils/aisearch/core.py:58-69`)."""
-    return batch_topk(spark, store, [(0, query_text, k)], threshold).select(
-        "rank", "docid", "conv_id", "turn_idx", "score"
-    )
+    (`/root/reference/visionsearch/common_utils/aisearch/core.py:58-69`).
+    Defaults to the low-latency driver-merge path (interactive serving)."""
+    return batch_topk(
+        spark, store, [(0, query_text, k)], threshold, driver_merge=driver_merge
+    ).select("rank", "docid", "conv_id", "turn_idx", "score")
