@@ -152,6 +152,109 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return minhash_lsh_pairs(docs, n=3, tau=0.6)
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return ngram_jaccard_pairs(docs, n=5, tau=0.6)
+
+
+def _simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return simhash(docs).withColumnRenamed("id", "doc_id")
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import lang_id
+
+    return lang_id(spark.read.parquet(_p(sf_dir, "documents")))
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import quality_score
+
+    return quality_score(spark.read.parquet(_p(sf_dir, "documents")))
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(spark.read.parquet(_p(sf_dir, "documents")))
+
+
+def _prefix_filter_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return docs.filter(F.col("source").startswith("src1")).select(
+        "doc_id", "source"
+    )
+
+
+def _json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def _tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_p(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(_p(sf_dir, "customer"))
+    orders = spark.read.parquet(_p(sf_dir, "orders"))
+    nation = spark.read.parquet(_p(sf_dir, "nation"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.similarity import pairwise_neardup
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    return pairwise_neardup(emb, tau=0.4, exact=True).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN — no SQL oracle (recall-vs-exact is pytest-checked);
+    driver records the weaker rows-only check."""
+    from visionsearch_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_lsh(emb, list(qvec), k=20, n_planes=16, max_hamming=6) \
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch BM25 top-k over the sf0.001 documents corpus."""
     return _bm25_batch(spark, "/root/testdata/sf0.001")
@@ -174,6 +277,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "antijoin_customers_no_orders": _antijoin_customers_no_orders,
             "groupby_event_type": _groupby_event_type,
             "cosine_topk": _cosine_topk,
+            "dedup_minhash_lsh": _dedup_minhash_lsh,
+            "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+            "simhash32": _simhash32,
+            "lang_id": _lang_id,
+            "quality_score": _quality_score,
+            "doc_fingerprint": _doc_fingerprint,
+            "prefix_filter_source": _prefix_filter_source,
+            "json_extract_props": _json_extract_props,
+            "tpch_q1_like": _tpch_q1_like,
+            "revenue_by_nation": _revenue_by_nation,
+            "embedding_neardup": _embedding_neardup,
+            "ann_lsh_topk": _ann_lsh_topk,
         }
     )
     return q
@@ -182,6 +297,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
+
+def _shingle_ctes(n: int) -> str:
+    """CTEs toks -> sh -> dic -> sids shared by the shingle-based oracles
+    (mirror of operators/dedup.py shingles + shingle_ids)."""
+    toks = duckdb_tokens("text")
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+toks AS (
+  SELECT doc_id AS id, {toks} AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, unnest(
+    CASE WHEN len(tk) >= {n}
+         THEN list_transform(generate_series(1, len(tk)-{n - 1}), i -> {grams})
+         ELSE [] END) AS shingle
+  FROM toks
+),
+dic AS (
+  SELECT shingle, dense_rank() OVER (ORDER BY shingle)::BIGINT AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+sids AS (SELECT sh.id, dic.sid FROM sh JOIN dic USING(shingle))
+"""
+
+
+def _jaccard_tail(tau: float) -> str:
+    return f"""
+sizes AS (SELECT id, count(*) AS sz FROM sids GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cands c
+  JOIN sids a ON a.id = c.id_a
+  JOIN sids b ON b.id = c.id_b AND b.sid = a.sid
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {tau}
+"""
+
+
+def _minhash_oracle(n: int, tau: float) -> str:
+    from visionsearch_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_HASHES,
+    )
+
+    hash_mins = ", ".join(
+        f"min(({MINHASH_A[i]}::BIGINT * sid + {MINHASH_B[i]}) % {MINHASH_PRIME}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    rpb = N_HASHES // N_BANDS
+    band_joins = " UNION ".join(
+        "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON "
+        + " AND ".join(f"a.h{i} = b.h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + " WHERE a.id < b.id"
+        for b in range(N_BANDS)
+    )
+    return (
+        "WITH " + _shingle_ctes(n).strip().lstrip() + f""",
+sig AS (SELECT id, {hash_mins} FROM sids GROUP BY id),
+cands AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
+""" + _jaccard_tail(tau)
+    )
+
+
+def _ngram_jaccard_oracle(n: int, tau: float) -> str:
+    return (
+        "WITH " + _shingle_ctes(n).strip() + """,
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sids a JOIN sids b ON a.sid = b.sid AND a.id < b.id
+),
+""" + _jaccard_tail(tau)
+    )
+
+
+def _simhash_oracle(n_bits: int = 32) -> str:
+    from visionsearch_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME,
+    )
+
+    toks = duckdb_tokens("text")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (hash >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(n_bits)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY id, term),
+dic AS (
+  SELECT term, dense_rank() OVER (ORDER BY term)::BIGINT AS tid
+  FROM (SELECT DISTINCT term FROM tf)
+),
+h AS (
+  SELECT tf.id, tf.tf,
+         ({MINHASH_A[0]}::BIGINT * dic.tid + {MINHASH_B[0]}) % {MINHASH_PRIME} AS hash
+  FROM tf JOIN dic USING(term)
+),
+agg AS (SELECT id, {bit_sums} FROM h GROUP BY id)
+SELECT id AS doc_id, ({recompose})::BIGINT AS simhash FROM agg
+"""
+
+
+def _lang_id_oracle() -> str:
+    from visionsearch_spark.operators.textstats import LANG_MARKERS
+
+    toks = duckdb_tokens("text")
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(tk, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        + f"], t))) AS s_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN {best} > 0 AND s_{lg} = {best} THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+scored AS (SELECT doc_id, {score_cols} FROM toks)
+SELECT doc_id, {pred} AS pred_lang FROM scored
+"""
+
+
+def _quality_oracle() -> str:
+    from visionsearch_spark.operators.textstats import STOPWORDS
+
+    toks = duckdb_tokens("text")
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         len(list_filter({toks}, t -> list_contains([{stop}], t))) AS n_stop
+  FROM documents
+),
+m AS (
+  SELECT *, CASE WHEN n_tokens > 0
+                 THEN (n_chars - n_tokens + 1) * 1.0 / n_tokens
+                 ELSE 0.0 END AS mtl
+  FROM d
+)
+SELECT doc_id, n_tokens, n_punct, n_stop,
+       round(
+         (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN n_stop > 0 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN n_punct > 0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+FROM m
+"""
+
+
+def _fingerprint_oracle() -> str:
+    from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
+
+    toks = duckdb_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, unnest(tk) AS term,
+         unnest(generate_series(0, len(tk) - 1)) AS pos
+  FROM toks WHERE len(tk) > 0
+),
+dic AS (
+  SELECT term, dense_rank() OVER (ORDER BY term)::BIGINT AS tid
+  FROM (SELECT DISTINCT term FROM pos)
+)
+SELECT pos.doc_id,
+       sum((pos.pos + 1) * (({FP_MULT}::BIGINT * dic.tid + 12345) % {FP_PRIME}))
+         % {FP_PRIME} AS fingerprint
+FROM pos JOIN dic USING(term)
+GROUP BY pos.doc_id
+"""
 
 def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
@@ -299,4 +599,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(cos, 6) AS cos FROM scored
         ORDER BY cos DESC, vec_id ASC LIMIT 20
     """
+    sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
+    sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6)
+    sql["simhash32"] = _simhash_oracle(32)
+    sql["lang_id"] = _lang_id_oracle()
+    sql["quality_score"] = _quality_oracle()
+    sql["doc_fingerprint"] = _fingerprint_oracle()
+    sql["prefix_filter_source"] = """
+        SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'
+    """
+    sql["json_extract_props"] = """
+        SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        FROM events
+    """
+    sql["tpch_q1_like"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    sql["revenue_by_nation"] = """
+        SELECT n_name, round(sum(o_totalprice), 4) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+    sql["embedding_neardup"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """
+    # ann_lsh_topk: intentionally no oracle (approximate op; rows-only)
     return sql
