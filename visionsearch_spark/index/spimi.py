@@ -263,16 +263,17 @@ def build_index(
         staged = toks.withColumn(
             "pid", (F.col("docid") / F.lit(rows_per_pid)).cast("int")
         )
-        staged.write.mode("overwrite").parquet(store.staged_path)
+        # avgdl observed DURING the staged write — no extra aggregation job
+        from pyspark.sql import Observation
+
+        obs = Observation("staged_stats")
+        staged.observe(obs, F.avg("dl").alias("avgdl")).write.mode(
+            "overwrite"
+        ).parquet(store.staged_path)
+        avgdl = obs.get["avgdl"] or 0.0
         for cached in cache_handle:  # staged parquet supersedes the cache
             cached.unpersist()
         mark("stage_write")
-        sdf = spark.read.parquet(store.staged_path)
-        sdf.select("docid", "conv_id", "turn_idx", "dl").write.mode(
-            "overwrite"
-        ).parquet(store.docmap_path)
-        avgdl = sdf.agg(F.avg("dl")).collect()[0][0] or 0.0
-        mark("docmap_stats")
         store.write_meta(
             {
                 "n_docs": n_docs,

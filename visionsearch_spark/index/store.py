@@ -53,7 +53,11 @@ class IndexStore:
 
     @property
     def docmap_path(self) -> str:
-        return os.path.join(self.root, "docmap")
+        """The docmap (docid, conv_id, turn_idx, dl) is a column-pruned
+        view of the staged table — parquet column pruning skips the heavy
+        `tokens` column, so a separate materialization would only buy a
+        second copy of the same bytes. Readers must select their columns."""
+        return os.path.join(self.root, "staged")
 
     @property
     def term_stats_path(self) -> str:

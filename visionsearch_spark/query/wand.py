@@ -203,7 +203,7 @@ def batch_topk(
     meta = store.read_meta()
     avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
     qtoks = {qid: sorted(set(tokenize(text))) for qid, text, _k in queries}
-    all_terms = sorted({t for ts in qtoks.values() for ts_ in [ts] for t in ts})
+    all_terms = sorted({t for ts in qtoks.values() for t in ts})
     if not all_terms or n_docs == 0:
         return spark.createDataFrame([], RESULT_DDL)
     dfs = {

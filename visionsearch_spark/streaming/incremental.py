@@ -92,15 +92,11 @@ def incremental_build(transcripts: DataFrame, root: str,
     )
     staged.write.mode("append").parquet(store.staged_path)
 
-    # refresh docmap + corpus stats BEFORE SPIMI (avgdl feeds block_max)
+    # refresh corpus stats BEFORE SPIMI (avgdl feeds block_max); the
+    # docmap IS the staged table (column-pruned view, store.docmap_path)
     sdf = spark.read.parquet(store.staged_path)
-    sdf.select("docid", "conv_id", "turn_idx", "dl").write.mode(
-        "overwrite"
-    ).parquet(store.docmap_path)
     n_docs = base + n_new
-    avgdl = float(
-        spark.read.parquet(store.docmap_path).agg(F.avg("dl")).collect()[0][0]
-    )
+    avgdl = float(sdf.agg(F.avg("dl")).collect()[0][0])
     meta.update({"n_docs": n_docs, "avgdl": avgdl})
     store.write_meta(meta)
 
