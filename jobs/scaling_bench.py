@@ -35,7 +35,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_TASKS = 64  # fixed decomposition: both cluster sizes run the same plan
-REPLICAS = 5
+REPLICAS = int(__import__('os').environ.get('VSS_SCALE_REPLICAS', '5'))
 
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
@@ -47,14 +47,20 @@ from visionsearch_spark import get_spark
 from visionsearch_spark.index.spimi import build_index
 from visionsearch_spark.query.wand import batch_topk
 
-spark = get_spark("scale", cores=cores, shuffle_partitions=n_tasks)
+# RAM-backed scratch (tmpfs): /tmp sits on a ~187 MB/s virtual disk — at 8
+# cores the build becomes disk-bound there and the measurement reflects the
+# sandbox disk, not the engine. A real cluster spreads shuffle/index I/O
+# across many nodes' local disks.
+scratch = tempfile.mkdtemp(prefix="vss_scale_", dir="/dev/shm")
+spark = get_spark("scale", cores=cores, shuffle_partitions=n_tasks,
+                  extra_conf={"spark.local.dir": os.path.join(scratch, "sl")})
 tx = spark.read.parquet(corpus)
 # warm-up (JIT + python worker pool), untimed
-warm = tempfile.mkdtemp()
+warm = tempfile.mkdtemp(dir=scratch)
 build_index(tx.limit(2000), warm, n_partitions=n_tasks)
 shutil.rmtree(warm, ignore_errors=True)
 
-root = tempfile.mkdtemp()
+root = tempfile.mkdtemp(dir=scratch)
 t0 = time.perf_counter()
 store = build_index(tx, root, n_partitions=n_tasks)
 build_sec = time.perf_counter() - t0
@@ -68,10 +74,10 @@ queries = [(i, q, 10) for i, q in enumerate(qtexts * 4)]
 t0 = time.perf_counter()
 batch_topk(spark, store, queries).count()
 query_sec = time.perf_counter() - t0
-shutil.rmtree(root, ignore_errors=True)
 print(json.dumps({"cores": cores, "build_sec": build_sec,
                   "query_sec": query_sec, "n_docs": n_docs}))
 spark.stop()
+shutil.rmtree(scratch, ignore_errors=True)
 """
 
 
@@ -121,10 +127,15 @@ def scaled_corpus(base_corpus: str) -> str:
 
 
 def run_child(cores: int, corpus: str) -> dict:
+    env = dict(os.environ)
+    # plenty of heap on this 125G host — GC pressure must not masquerade
+    # as a scaling limit (observed: 8g heap throttles the 8-core side
+    # first, which deflates measured efficiency)
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO)),
          str(cores), corpus, str(N_TASKS)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 

@@ -122,6 +122,30 @@ def test_random_corpus_rank_identity(spark, tmp_path_factory, seed):
             assert math.isclose(g["score"], e[3], rel_tol=1e-9)
 
 
+def test_tie_break_at_local_k_boundary(spark, tmp_path_factory):
+    """Many docs with IDENTICAL scores (same tf, same dl) competing for k
+    slots: the engine must return the smallest docids — i.e. smallest
+    (conv_id, turn_idx) — exactly like the oracle. Regression for the
+    argpartition-arbitrary-tie bug in the local top-k kernel."""
+    rows = [
+        (f"c{i:03d}", 1, "user", "tiger alpha beta gamma delta", "", None)
+        for i in range(25)
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    df = spark.createDataFrame(rows, schema)
+    root = str(tmp_path_factory.mktemp("idx_ties"))
+    store = build_index(df, root, n_partitions=2, n_shards=2)
+    oracle = build_oracle_index([(r[0], r[1], r[3]) for r in rows])
+    for q, k in [("tiger", 7), ("tiger alpha", 5), ("tiger beta gamma", 11)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = sorted(
+            batch_topk(spark, store, [(0, q, k)]).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [(r["docid"],) for r in got] == [(e[0],) for e in exp], q
+
+
 def test_golden_end_to_end(spark, transcripts, tmp_path_factory):
     """(e) engine vs the CHECKED-IN golden oracle output."""
     with open(GOLDEN) as f:

@@ -46,6 +46,16 @@ from visionsearch_spark.index.store import IndexStore
 RESULT_DDL = "query_id long, rank int, docid long, conv_id string, turn_idx int, score double"
 
 
+def _topk_tiebreak(docids: np.ndarray, scores: np.ndarray, k: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Select k best by (score desc, docid asc). np.argpartition alone is
+    WRONG here: it picks arbitrary members among equal scores at the k
+    boundary, but the deterministic contract requires the smallest docids
+    to win ties (SURVEY.md §7 R2)."""
+    order = np.lexsort((docids, -scores))[:k]
+    return docids[order], scores[order]
+
+
 def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                    avgdl: float, threshold: float):
     """qplans: [(query_id, [(term, idf, term_rank)], k)]; term_rank is the
@@ -126,8 +136,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             keep = sums > threshold
             uniq, sums = uniq[keep], sums[keep]
             if uniq.size > k:
-                part = np.argpartition(-sums, k - 1)[:k]
-                uniq, sums = uniq[part], sums[part]
+                uniq, sums = _topk_tiebreak(uniq, sums, k)
             if uniq.size:
                 out_qid.append(np.full(uniq.size, qid, dtype=np.int64))
                 out_docid.append(uniq)
@@ -146,7 +155,9 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
 
     def _single_term_topk(blks, w, k, thr, avgdl_):
         """Exact top-k with block-max pruning: descending block_max order,
-        stop when w*block_max can't beat the current kth best."""
+        stop only when w*block_max is STRICTLY below the kth best — a
+        block whose bound equals the kth score may still hold a doc that
+        wins the (score desc, docid asc) tie-break."""
         order = sorted(range(len(blks)), key=lambda i: -blks[i][4])
         best_d: list[np.ndarray] = []
         best_s: list[np.ndarray] = []
@@ -154,7 +165,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
         count = 0
         for i in order:
             n, db, tb, lb, bm = blks[i]
-            if count >= k and w * bm <= kth:
+            if count >= k and w * bm < kth:
                 break
             d = decode_docids(db, n)
             tf = decode_varint(tb, n).astype(np.float64)
@@ -173,8 +184,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
         d = np.concatenate(best_d)
         s = np.concatenate(best_s)
         if d.size > k:
-            part = np.argpartition(-s, k - 1)[:k]
-            d, s = d[part], s[part]
+            d, s = _topk_tiebreak(d, s, k)
         return d, s
 
     return score
