@@ -255,6 +255,32 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def _tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation (streaming-shape op in batch)."""
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (window rank)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch BM25 top-k over the sf0.001 documents corpus."""
     return _bm25_batch(spark, "/root/testdata/sf0.001")
@@ -289,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "revenue_by_nation": _revenue_by_nation,
             "embedding_neardup": _embedding_neardup,
             "ann_lsh_topk": _ann_lsh_topk,
+            "tumbling_window_events": _tumbling_window_events,
+            "topk_per_group": _topk_per_group,
         }
     )
     return q
@@ -636,6 +664,19 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(a.v, b.v), 6) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """
+    sql["tumbling_window_events"] = """
+        SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
+               event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    sql["topk_per_group"] = """
+        SELECT event_type, rnk, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events
+        ) WHERE rnk <= 3
     """
     # ann_lsh_topk: intentionally no oracle (approximate op; rows-only)
     return sql

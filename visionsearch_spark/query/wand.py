@@ -190,6 +190,45 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
     return score
 
 
+# per-process memo of term->df lookups, keyed by store root (the executor-
+# side analog is the reference's load-once-at-startup index + model cache,
+# `aisearch/main.py:26-36`, `analyze_image.py:34-44`). Only queried terms
+# are memoized — at 10^12-turn scale the full vocabulary cannot live on
+# the driver, but a serving process's working set of query terms can.
+_TERM_DF_MEMO: dict[str, dict[str, int]] = {}
+
+
+def _lookup_term_dfs(spark: SparkSession, store: IndexStore,
+                     terms: list[str]) -> dict[str, int]:
+    import os
+
+    # meta.json mtime in the key: an incremental append rewrites meta, so
+    # stale df values age out automatically even across serving processes
+    key = f"{store.root}:{os.path.getmtime(store.meta_path)}"
+    memo = _TERM_DF_MEMO.setdefault(key, {})
+    missing = [t for t in terms if t not in memo]
+    if missing:
+        rows = (
+            spark.read.parquet(store.term_stats_path)
+            .filter(F.col("term").isin(missing))
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        for t in missing:
+            memo[t] = found.get(t, 0)  # memoize absent terms as df=0
+    return {t: memo[t] for t in terms if memo[t] > 0}
+
+
+def invalidate_term_df_memo(root: str | None = None) -> None:
+    """Drop memoized df lookups (belt-and-braces; the meta-mtime key
+    already ages out stale entries after an append)."""
+    if root is None:
+        _TERM_DF_MEMO.clear()
+    else:
+        for k in [k for k in _TERM_DF_MEMO if k.startswith(f"{root}:")]:
+            _TERM_DF_MEMO.pop(k, None)
+
+
 def batch_topk(
     spark: SparkSession,
     store: IndexStore,
@@ -216,12 +255,7 @@ def batch_topk(
     all_terms = sorted({t for ts in qtoks.values() for t in ts})
     if not all_terms or n_docs == 0:
         return spark.createDataFrame([], RESULT_DDL)
-    dfs = {
-        r["term"]: r["df"]
-        for r in spark.read.parquet(store.term_stats_path)
-        .filter(F.col("term").isin(all_terms))
-        .collect()
-    }
+    dfs = _lookup_term_dfs(spark, store, all_terms)
     qplans = []
     for qid, _text, k in queries:
         terms = [

@@ -129,6 +129,9 @@ def incremental_build(transcripts: DataFrame, root: str,
     )
     meta["phase"] = "built"
     store.write_meta(meta)
+    from visionsearch_spark.query.wand import invalidate_term_df_memo
+
+    invalidate_term_df_memo(store.root)  # df/N changed under this root
     return store
 
 
