@@ -98,7 +98,8 @@ def main() -> None:
         n_rows = batch_topk(spark, store, batch).count()
         batch_sec = time.perf_counter() - t0
 
-        # interactive path: per-query wall clock
+        # interactive path A: per-query Spark job (distributed; scheduling-
+        # bound at ~1s — right for batch, wrong for serving)
         lats = []
         for q in LATENCY_QUERIES:
             t0 = time.perf_counter()
@@ -107,6 +108,23 @@ def main() -> None:
         lats.sort()
         p50 = statistics.median(lats)
         p95 = lats[max(0, int(round(0.95 * len(lats))) - 1)]
+
+        # interactive path B: LocalSearcher serving layer (load-once, pure
+        # numpy — the reference's in-memory-index architecture)
+        from visionsearch_spark.query.serving import LocalSearcher
+
+        t0 = time.perf_counter()
+        searcher = LocalSearcher(store)
+        serve_load_sec = time.perf_counter() - t0
+        searcher.search("join filter", k=10)  # warm
+        slats = []
+        for q in BENCH_QUERIES * 5:
+            t0 = time.perf_counter()
+            searcher.search(q, k=10)
+            slats.append(time.perf_counter() - t0)
+        slats.sort()
+        serve_p50 = statistics.median(slats)
+        serve_p95 = slats[max(0, int(round(0.95 * len(slats))) - 1)]
 
         total = build_sec + batch_sec + sum(lats)
         out = {
@@ -119,6 +137,9 @@ def main() -> None:
                 "query_batch_10": round(batch_sec, 3),
                 "query_p50": round(p50, 4),
                 "query_p95": round(p95, 4),
+                "serving_load_sec": round(serve_load_sec, 3),
+                "serving_p50_ms": round(serve_p50 * 1000, 3),
+                "serving_p95_ms": round(serve_p95 * 1000, 3),
                 "batch_result_rows": n_rows,
                 "n_docs": n_docs,
             },
