@@ -126,12 +126,14 @@ def _session_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _antijoin_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(_p(sf_dir, "customer"))
+def _antijoin_orders_no_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-scan shape (J3/S4): rows not yet covered by the other
+    side — non-empty at every sf (orders without lineitems exist)."""
     orders = spark.read.parquet(_p(sf_dir, "orders"))
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey")
+    li = spark.read.parquet(_p(sf_dir, "lineitem"))
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey")
 
 
 def _groupby_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "threshold_topk_events": _threshold_topk_events,
             "turn_numbering": _turn_numbering,
             "session_window_1h": _session_window_1h,
-            "antijoin_customers_no_orders": _antijoin_customers_no_orders,
+            "antijoin_orders_no_lineitem": _antijoin_orders_no_lineitem,
             "groupby_event_type": _groupby_event_type,
             "cosine_topk": _cosine_topk,
             "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -609,9 +611,9 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events
         FROM sessioned GROUP BY user_id, sid
     """
-    sql["antijoin_customers_no_orders"] = """
-        SELECT c_custkey FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    sql["antijoin_orders_no_lineitem"] = """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """
     sql["groupby_event_type"] = """
         SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value

@@ -16,6 +16,43 @@ from visionsearch_spark.query.wand import topk
 from visionsearch_spark.streaming.incremental import incremental_build, pending_rows
 
 
+def test_streaming_ingestion(spark, transcripts_pdf, tmp_path_factory):
+    """Structured Streaming path: file source -> foreachBatch incremental
+    build with availableNow trigger; new files picked up by a second run."""
+    from visionsearch_spark.streaming.incremental import (
+        stream_transcripts_to_index,
+    )
+
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "src")
+    root = str(base / "idx")
+    ckpt = str(base / "ckpt")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    convs = sorted(transcripts_pdf["conv_id"].unique())[:20]
+    pdf = transcripts_pdf[transcripts_pdf["conv_id"].isin(convs)]
+    half = pdf[pdf["conv_id"].isin(convs[:10])]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    spark.createDataFrame(half, schema=TRANSCRIPTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = stream_transcripts_to_index(spark, src, root, ckpt, schema)
+    q.awaitTermination(120)
+    store = IndexStore(root)
+    n1 = store.read_meta()["n_docs"]
+    assert n1 == len(half)
+    # second batch of files -> only the delta is indexed
+    rest = pdf[pdf["conv_id"].isin(convs[10:])]
+    spark.createDataFrame(rest, schema=TRANSCRIPTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = stream_transcripts_to_index(spark, src, root, ckpt, schema)
+    q.awaitTermination(120)
+    assert store.read_meta()["n_docs"] == len(pdf)
+    got = topk(spark, store, "join", k=5).collect()
+    assert len(got) == 5
+
+
 @pytest.fixture(scope="module")
 def halves(transcripts_pdf):
     convs = sorted(transcripts_pdf["conv_id"].unique())
