@@ -61,6 +61,26 @@ def test_segment_structure(spark, built_store):
         assert r["block_max"] > 0
 
 
+def test_hot_term_shard_fanout(spark, built_store, oracle_index):
+    """Skew defense is structural: a hot term's postings must span many
+    docid-range shards (merge/query work fans out with df), while a rare
+    term stays in few. This is what makes the Zipf head parallelizable at
+    10^12 turns (north rule: 'salted repartition-by-term')."""
+    from pyspark.sql import functions as F
+
+    segs = spark.read.parquet(built_store.segments_path)
+    fanout = {
+        r["term"]: r["n_shards"]
+        for r in segs.groupBy("term")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .filter(F.col("term").isin(["join", "xylophone"]))
+        .collect()
+    }
+    n_shards_total = int(built_store.read_meta()["n_shards"])
+    assert fanout["join"] >= n_shards_total * 0.8  # hot: nearly all shards
+    assert fanout.get("xylophone", 0) <= 2         # rare marker: few
+
+
 def test_rank_identity_full_query_set(spark, built_store, oracle_index, query_set):
     queries = [
         (int(r.query_id), r.query_text, int(r.k))
