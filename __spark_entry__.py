@@ -22,6 +22,39 @@ from visionsearch_spark.analyzer import duckdb_tokens, tokenize
 from visionsearch_spark.corpus import doc_id_col, get_documents_index
 from visionsearch_spark.query.wand import batch_topk
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) so Arrow-UDF tasks can
+    unpickle references to visionsearch_spark regardless of the driver's
+    PYTHONPATH — the standalone equivalent of spark-submit --py-files."""
+    sc = spark.sparkContext
+    if getattr(sc, "_vss_shipped", False):
+        return
+    import zipfile
+
+    zpath = os.path.join("/tmp", "visionsearch_spark_entry.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            pkg = os.path.join(_REPO, "visionsearch_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(zpath + ".tmp", zpath)
+    sc.addPyFile(zpath)
+    sc._vss_shipped = True
+
+
+def _shipped(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
 # ---------------------------------------------------------------------------
 # shared query definitions (Spark side and oracle side derive from these)
 # ---------------------------------------------------------------------------
@@ -285,6 +318,7 @@ def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch BM25 top-k over the sf0.001 documents corpus."""
+    _ensure_shipped(spark)
     return _bm25_batch(spark, "/root/testdata/sf0.001")
 
 
@@ -321,7 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "topk_per_group": _topk_per_group,
         }
     )
-    return q
+    return {name: _shipped(fn) for name, fn in q.items()}
 
 
 # ---------------------------------------------------------------------------
