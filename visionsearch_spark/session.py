@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd for all parquet we write: ~25% smaller than snappy on text
+        # corpora and measured slightly faster end-to-end; at 100 TB the
+        # staged-checkpoint footprint is a first-order cost
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
