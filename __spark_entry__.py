@@ -181,7 +181,8 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.similarity import cosine_topk_to_query
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
+        .limit(1).collect()[0][0]
     return cosine_topk_to_query(emb, list(qvec), k=20).select(
         "vec_id", F.round("cos", 6).alias("cos")
     )
@@ -198,7 +199,7 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(_p(sf_dir, "documents"))
-    return ngram_jaccard_pairs(docs, n=5, tau=0.6)
+    return ngram_jaccard_pairs(docs, n=5, tau=0.6, max_shingle_df=1000)
 
 
 def _simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,21 +272,28 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: banded-LSH candidates + exact cosine verify — no
+    CartesianProduct in the plan. The 16x2-band config is verified
+    candidate-complete vs the exact O(n²) oracle on the fixtures
+    (tests/test_dedup.py), so values match the all-pairs DuckDB SQL."""
     from visionsearch_spark.operators.similarity import pairwise_neardup
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    return pairwise_neardup(emb, tau=0.4, exact=True).select(
+    return pairwise_neardup(emb, tau=0.4, n_planes=32, n_bands=16).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN — no SQL oracle (recall-vs-exact is pytest-checked);
-    driver records the weaker rows-only check."""
+    """Approximate NN, deterministic given the seeded hyperplanes — the
+    DuckDB twin (_ann_lsh_oracle) replicates the identical sign-bit /
+    Hamming-prune / exact-cosine arithmetic from a hyperplane VALUES
+    table, so this IS value-checked, not rows-only."""
     from visionsearch_spark.operators.similarity import cosine_topk_lsh
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
+        .limit(1).collect()[0][0]
     return cosine_topk_lsh(emb, list(qvec), k=20, n_planes=16, max_hamming=6) \
         .select("vec_id", F.round("cos", 6).alias("cos"))
 
@@ -429,12 +437,17 @@ cands AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
     )
 
 
-def _ngram_jaccard_oracle(n: int, tau: float) -> str:
+def _ngram_jaccard_oracle(n: int, tau: float, max_shingle_df: int) -> str:
+    # candidate generation mirrors the Spark-side Zipf cap (shingles with
+    # df > max_shingle_df don't generate candidates); the verify step
+    # still uses the FULL shingle sets, like _verify_jaccard.
     return (
-        "WITH " + _shingle_ctes(n).strip() + """,
+        "WITH " + _shingle_ctes(n).strip() + f""",
+hot AS (SELECT sid FROM sids GROUP BY sid HAVING count(*) > {max_shingle_df}),
+gen AS (SELECT * FROM sids WHERE sid NOT IN (SELECT sid FROM hot)),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sids a JOIN sids b ON a.sid = b.sid AND a.id < b.id
+  FROM gen a JOIN gen b ON a.sid = b.sid AND a.id < b.id
 ),
 """ + _jaccard_tail(tau)
     )
@@ -526,6 +539,11 @@ FROM m
 
 
 def _fingerprint_oracle() -> str:
+    # Per-position terms reduced mod p BEFORE the sum (mirrors
+    # textstats.doc_fingerprint's bounded arithmetic — sum of unbounded
+    # (pos+1)*h wraps int64 on the Spark side for dl ~ 60k while DuckDB
+    # promotes to HUGEINT); final ::BIGINT so the driver hashes int64 on
+    # both sides instead of HUGEINT->float64.
     from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
 
     toks = duckdb_tokens("text")
@@ -541,10 +559,49 @@ dic AS (
   FROM (SELECT DISTINCT term FROM pos)
 )
 SELECT pos.doc_id,
-       sum((pos.pos + 1) * (({FP_MULT}::BIGINT * dic.tid + 12345) % {FP_PRIME}))
-         % {FP_PRIME} AS fingerprint
+       (sum((((pos.pos + 1) % {FP_PRIME})
+             * (({FP_MULT}::BIGINT * dic.tid + 12345) % {FP_PRIME}))
+            % {FP_PRIME})
+        % {FP_PRIME})::BIGINT AS fingerprint
 FROM pos JOIN dic USING(term)
 GROUP BY pos.doc_id
+"""
+
+
+def _ann_lsh_oracle(k: int = 20, n_planes: int = 16, max_hamming: int = 6,
+                    dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity.cosine_topk_lsh: the seeded hyperplanes
+    are emitted as a VALUES table (full-precision repr round-trips the
+    float64 coefficients), sign bits / Hamming prune / exact cosine are
+    replicated in SQL. dim=64 matches the fixture embeddings at every sf
+    (the Spark side derives it from the query vector)."""
+    from visionsearch_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(c)) for c in plane)
+        + "]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(p, coefs) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+bits AS (
+  SELECT e.vec_id, p.p, (list_inner_product(e.v, p.coefs) >= 0) AS bit
+  FROM e CROSS JOIN planes p
+),
+qbits AS (SELECT p, bit FROM bits WHERE vec_id = 0),
+ham AS (
+  SELECT b.vec_id, sum(CASE WHEN b.bit <> qb.bit THEN 1 ELSE 0 END) AS ham
+  FROM bits b JOIN qbits qb USING(p) GROUP BY b.vec_id
+),
+scored AS (
+  SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT qv FROM q)) AS cos
+  FROM e JOIN ham USING(vec_id) WHERE ham.ham <= {max_hamming}
+)
+SELECT vec_id, round(cos, 6) AS cos FROM scored
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool) -> str:
@@ -664,7 +721,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos DESC, vec_id ASC LIMIT 20
     """
     sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
-    sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6)
+    sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
+                                                       max_shingle_df=1000)
     sql["simhash32"] = _simhash_oracle(32)
     sql["lang_id"] = _lang_id_oracle()
     sql["quality_score"] = _quality_oracle()
@@ -714,5 +772,5 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         ) WHERE rnk <= 3
     """
-    # ann_lsh_topk: intentionally no oracle (approximate op; rows-only)
+    sql["ann_lsh_topk"] = _ann_lsh_oracle(k=20, n_planes=16, max_hamming=6)
     return sql

@@ -1,0 +1,73 @@
+"""Similarity operators: banded-LSH near-dup candidate completeness vs the
+exact O(n²) oracle, ANN recall, band-signature bit packing, and the
+no-CartesianProduct plan guarantee of the default (scale) path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from visionsearch_spark.operators.similarity import (
+    _hyperplanes,
+    band_signature_udf,
+    cosine_topk_lsh,
+    cosine_topk_to_query,
+    pairwise_neardup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_band_signatures_match_numpy(spark, emb):
+    planes = _hyperplanes(64, 32, seed=7)
+    udf = band_signature_udf(planes, n_bands=16)
+    rows = emb.select("vec_id", udf(F.col("embedding")).alias("b")) \
+        .orderBy("vec_id").collect()
+    mat = np.stack([np.array(r, dtype=np.float64) for r in
+                    emb.orderBy("vec_id").select("embedding").toPandas()["embedding"]])
+    bits = (mat @ planes.T.astype(np.float64)) >= 0
+    weights = 1 << np.arange(2)
+    expected = bits.reshape(len(mat), 16, 2).astype(np.int64) @ weights
+    for i, r in enumerate(rows):
+        assert list(r["b"]) == list(expected[i]), f"vec {r['vec_id']}"
+
+
+def test_neardup_banded_complete_vs_exact(spark, emb):
+    """The contract config (32 planes, 16 bands) must produce EXACTLY the
+    all-pairs result at the contract threshold — candidate-set
+    completeness on the deterministic fixture."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in pairwise_neardup(emb, tau=0.4, exact=True).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in pairwise_neardup(emb, tau=0.4, n_planes=32, n_bands=16).collect()
+    }
+    assert set(banded) == set(exact)
+    for k, v in exact.items():
+        assert abs(banded[k] - v) < 1e-12
+
+
+def test_neardup_banded_plan_has_no_cartesian(spark, emb):
+    plan = pairwise_neardup(emb, tau=0.4, n_planes=32, n_bands=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_recall(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding")
+                .limit(1).collect()[0][0])
+    exact = [r["vec_id"] for r in cosine_topk_to_query(emb, qvec, k=20).collect()]
+    approx = [r["vec_id"] for r in
+              cosine_topk_lsh(emb, qvec, k=20, n_planes=16, max_hamming=6).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5  # approximate by design; exact path is the oracle
+    assert approx[0] == 0  # the query vector itself always survives pruning

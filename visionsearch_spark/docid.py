@@ -29,6 +29,50 @@ def assign_docids(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     return assign_docids_with_count(df, n_partitions)[0]
 
 
+def dense_ids(
+    distinct_vals: DataFrame,
+    col: str,
+    out_col: str = "id",
+    n_partitions: int | None = None,
+    unpersist_handle: list | None = None,
+) -> DataFrame:
+    """Dictionary-encode a DISTINCT single-column frame: ids 1..N in
+    lexicographic order of `col` — value-identical to
+    ``dense_rank() OVER (ORDER BY col)`` but with NO global window.
+
+    Same two-phase recipe as assign_docids_with_count: range-partition by
+    the value (sampled split points keep ranges ordered ACROSS partitions),
+    per-partition counts -> prefix-sum offsets on the driver (one int per
+    partition), then a PER-PARTITION row_number + broadcast offset join.
+    At 100 TB the distinct-term table never funnels through one task.
+
+    The ranged frame is persisted: range boundaries come from sampling, so
+    the offsets job and the row_number job must see the same partitioning.
+    """
+    n = n_partitions or distinct_vals.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        distinct_vals.repartitionByRange(n, col)
+        .sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if unpersist_handle is not None:
+        unpersist_handle.append(ranged)
+    counts = ranged.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    off_df = ranged.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_rn"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
 def assign_docids_with_count(
     df: DataFrame,
     n_partitions: int | None = None,

@@ -24,10 +24,11 @@ term merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from visionsearch_spark.analyzer import tokens_col
+from visionsearch_spark.docid import dense_ids
 
 # MinHash parameters — mirrored verbatim in the DuckDB oracle SQL.
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); products fit int64
@@ -68,15 +69,14 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def shingle_ids(sh: DataFrame) -> DataFrame:
-    """Dictionary-encode shingles: dense_rank over lexicographic order.
+    """Dictionary-encode shingles: ids in lexicographic shingle order.
 
-    Deterministic and SQL-expressible (the oracle reproduces it exactly);
-    at 10^12 scale the window runs over the *distinct shingle* table which
-    is orders of magnitude smaller than postings, and can be replaced by
-    the two-phase offset recipe of docid.py if it ever dominates."""
+    Value-identical to ``dense_rank() OVER (ORDER BY shingle)`` (the DuckDB
+    oracle's formulation) but computed with docid.dense_ids — range
+    partition + per-partition row_number + driver prefix-sum — so the
+    distinct-shingle table never funnels through a single window task."""
     distinct = sh.select("shingle").distinct()
-    w = Window.orderBy("shingle")
-    dic = distinct.withColumn("sid", F.dense_rank().over(w).cast("long"))
+    dic = dense_ids(distinct, "shingle", out_col="sid")
     return sh.join(dic, "shingle").select("id", "sid")
 
 
@@ -117,14 +117,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_df: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard >= tau for all pairs sharing >=1 shingle.
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard >= tau for pairs sharing >=1 non-ubiquitous
+    shingle.
 
     |A∩B| = count of shared shingles (join), |A∪B| = |A|+|B|-|A∩B|.
     max_shingle_df drops ubiquitous shingles from CANDIDATE GENERATION
-    (Zipf-head defense); intersection counts stay exact because the
-    verify step recomputes them from the full shingle sets.
-    """
+    (Zipf-head defense — ON by default: one shingle shared by d docs
+    alone yields d(d-1)/2 candidates, quadratic in the hot-shingle df;
+    at 100 TB an uncapped head shingle is a job-killer). Jaccard values
+    stay exact because the verify step recomputes intersections from the
+    FULL shingle sets; only pairs whose every common shingle is hotter
+    than the cap are skipped — at the default cap those are boilerplate
+    pairs, and the DuckDB oracle mirrors the same cap. Pass None to
+    disable (test scale only)."""
     sh = shingles(docs, n, text_col, id_col)
     sids = shingle_ids(sh)
     gen = sids
@@ -171,10 +177,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(tokens_col(text_col)).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dic = (
-        tf.select("term").distinct()
-        .withColumn("tid", F.dense_rank().over(Window.orderBy("term")).cast("long"))
-    )
+    dic = dense_ids(tf.select("term").distinct(), "term", out_col="tid")
     h = tf.join(dic, "term").withColumn(
         "hash", (F.lit(MINHASH_A[0]) * F.col("tid") + F.lit(MINHASH_B[0]))
         % F.lit(MINHASH_PRIME)

@@ -6,10 +6,11 @@ exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from visionsearch_spark.analyzer import tokens_col
+from visionsearch_spark.docid import dense_ids
 
 FP_PRIME = 2_147_483_647
 FP_MULT = 1_103_515_245
@@ -90,22 +91,23 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint:
-        fp = Σ_i (i+1) · h(tid_i)  mod p,   h(t) = (FP_MULT·t + 12345) mod p
-    over the dictionary-encoded token stream (dense_rank of distinct
-    tokens). Exactly reproducible in SQL via unnest WITH ORDINALITY."""
+        fp = Σ_i ((i+1)·h(tid_i) mod p)  mod p,  h(t) = (FP_MULT·t+12345) mod p
+    over the dictionary-encoded token stream (ids in lexicographic term
+    order via docid.dense_ids — no global window). Every per-position term
+    is reduced mod p BEFORE the sum, so partials stay < p·dl and never wrap
+    int64 (unbounded Σ (i+1)·h would wrap around dl ≈ 60k and diverge from
+    the oracle's HUGEINT sum); (i+1) is reduced mod p too so the product is
+    bounded by p² < 2^63. The DuckDB oracle computes the identical bounded
+    expression."""
     pos = docs.select(
         F.col(id_col),
         F.posexplode(tokens_col(text_col)).alias("pos", "term"),
     )
-    dic = (
-        pos.select("term").distinct()
-        .withColumn("tid", F.dense_rank().over(Window.orderBy("term")).cast("long"))
-    )
+    dic = dense_ids(pos.select("term").distinct(), "term", out_col="tid")
     h = (F.lit(FP_MULT) * F.col("tid") + F.lit(12345)) % F.lit(FP_PRIME)
+    term = (((F.col("pos") + 1) % F.lit(FP_PRIME)) * h) % F.lit(FP_PRIME)
     return (
         pos.join(dic, "term")
         .groupBy(id_col)
-        .agg(
-            (F.sum((F.col("pos") + 1) * h) % F.lit(FP_PRIME)).alias("fingerprint")
-        )
+        .agg((F.sum(term) % F.lit(FP_PRIME)).alias("fingerprint"))
     )
