@@ -108,3 +108,144 @@ def test_incremental_append(spark, halves, tmp_path_factory):
         ], q
         for g, e in zip(got, exp):
             assert math.isclose(g["score"], e[3], rel_tol=1e-9)
+
+
+def test_append_crash_repair(spark, halves, tmp_path_factory, monkeypatch):
+    """Crash after the staged append but before SPIMI/merge: the next
+    incremental_build must repair — the orphaned staged rows get postings,
+    stats are refreshed, docids never collide (ADVICE r1: the anti-join
+    must not hide staged-but-unindexed rows forever)."""
+    import visionsearch_spark.streaming.incremental as inc
+
+    first_pdf, full_pdf = halves
+    convs = sorted(full_pdf["conv_id"].unique())
+    three_q = full_pdf[full_pdf["conv_id"].isin(convs[: 3 * len(convs) // 4])]
+    root = str(tmp_path_factory.mktemp("idx_crash"))
+    first = spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA)
+    incremental_build(first, root, n_partitions=4)
+
+    # crash injection: append commits, finish never runs
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after staged append")
+
+    monkeypatch.setattr(inc, "_finish_append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        incremental_build(
+            spark.createDataFrame(three_q, schema=TRANSCRIPTS_SCHEMA),
+            root, n_partitions=4,
+        )
+    monkeypatch.undo()
+    store = IndexStore(root)
+    meta = store.read_meta()
+    assert meta["phase"] == "appending"          # intent record survives
+    assert meta["n_docs"] == len(first_pdf)      # stats still old snapshot
+
+    # next call: new delta (last quarter) + repair of the orphaned quarter
+    store = incremental_build(
+        spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4,
+    )
+    meta = store.read_meta()
+    assert meta["phase"] == "built"
+    assert meta["n_docs"] == len(full_pdf)
+
+    # docids are unique and dense 0..n-1 (no collisions from stale bases)
+    docids = [r["docid"] for r in
+              spark.read.parquet(store.docmap_path).select("docid").collect()]
+    assert sorted(docids) == list(range(len(full_pdf)))
+
+    # scores exact under refreshed stats, incl. docs staged by the crashed
+    # append (they MUST be searchable — the round-1 bug made them ghosts)
+    oracle = build_oracle_index(
+        list(full_pdf[["conv_id", "turn_idx", "text"]]
+             .itertuples(index=False, name=None))
+    )
+    for q, k in [("xylophone", 5), ("join filter", 10)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp
+        ], q
+
+
+def test_repair_noop_when_phase_appending_but_nothing_staged(
+        spark, halves, tmp_path_factory):
+    """Crash BETWEEN the intent write and the staged append: repair path
+    re-merges (wasteful but idempotent) and flips back to built."""
+    first_pdf, _ = halves
+    root = str(tmp_path_factory.mktemp("idx_intent"))
+    first = spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA)
+    store = incremental_build(first, root, n_partitions=4)
+    meta = store.read_meta()
+    meta["phase"] = "appending"
+    store.write_meta(meta)
+    store = incremental_build(first, root, n_partitions=4)
+    meta = store.read_meta()
+    assert meta["phase"] == "built"
+    assert meta["n_docs"] == len(first_pdf)
+
+
+def test_concurrent_reader_never_sees_torn_snapshot(
+        spark, halves, tmp_path_factory):
+    """A reader resolving the epoch pointer while an append merges must see
+    either the old or the new snapshot — never a partial segments table
+    (SURVEY §7 R4 snapshot contract; replaces in-place overwrite)."""
+    import threading
+
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_swap"))
+    store = incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4,
+    )
+    old_segs = spark.read.parquet(store.segments_path).count()
+    observed, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n_docs = store.read_meta()["n_docs"]
+                n_segs = spark.read.parquet(store.segments_path).count()
+                observed.append((n_docs, n_segs))
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        store = incremental_build(
+            spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+            root, n_partitions=4,
+        )
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    new_segs = spark.read.parquet(store.segments_path).count()
+    n0, n1 = len(first_pdf), len(full_pdf)
+    for n_docs, n_segs in observed:
+        assert n_docs in (n0, n1), f"torn meta: {n_docs}"
+        assert n_segs in (old_segs, new_segs), (
+            f"torn segments table: {n_segs} not in {(old_segs, new_segs)}"
+        )
+
+
+def test_epoch_gc_keeps_current_and_previous(spark, halves, tmp_path_factory):
+    import os
+
+    first_pdf, full_pdf = halves
+    convs = sorted(full_pdf["conv_id"].unique())
+    root = str(tmp_path_factory.mktemp("idx_gc"))
+    store = None
+    for frac in (2, 3, 4):
+        part = full_pdf[full_pdf["conv_id"].isin(convs[: len(convs) * frac // 4])]
+        store = incremental_build(
+            spark.createDataFrame(part, schema=TRANSCRIPTS_SCHEMA),
+            root, n_partitions=4,
+        )
+    ep = store.read_meta()["epoch"]
+    assert ep == 3  # initial build + two appends
+    seg_dirs = sorted(d for d in os.listdir(root) if d.startswith("segments"))
+    assert seg_dirs == [f"segments-{ep-1:06d}", f"segments-{ep:06d}"]

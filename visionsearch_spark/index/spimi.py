@@ -306,17 +306,20 @@ def build_index(
     )
     mark("spimi")
 
-    # ---- merge/compact fragments -> term_stats + segments ----
+    # ---- merge/compact fragments -> term_stats + segments (next epoch) ----
+    # written into fresh epoch dirs, then the meta pointer flips atomically:
+    # a reader concurrent with this merge serves the previous snapshot.
     frags = (
         spark.read.schema(SEGMENT_SCHEMA_DDL)
         .option("pathGlobFilter", "fragment-*.parquet")
         .parquet(store.fragments_dir)
     )
+    next_ep = int(meta.get("epoch") or 0) + 1
     (
         frags.groupBy("term")
         .agg(F.sum("n").alias("df"))
         .write.mode("overwrite")
-        .parquet(store.term_stats_path)
+        .parquet(store.epoch_path("term_stats", next_ep))
     )
     mark("term_stats")
     shard_range = int(meta["shard_range"])
@@ -325,12 +328,14 @@ def build_index(
         compacted.repartition(int(meta["n_partitions"]), "shard")
         .sortWithinPartitions("shard", "term", "min_docid")
         .write.mode("overwrite")
-        .parquet(store.segments_path)
+        .parquet(store.epoch_path("segments", next_ep))
     )
     mark("compact_write")
     meta["phase"] = "built"
+    meta["epoch"] = next_ep
     meta["stage_sec"] = {**meta.get("stage_sec", {}), **stage_sec}
     store.write_meta(meta)
+    store.gc_epochs(next_ep)
     return store
 
 

@@ -61,7 +61,7 @@ class IndexStore:
 
     @property
     def term_stats_path(self) -> str:
-        return os.path.join(self.root, "term_stats")
+        return self._epoch_path("term_stats")
 
     @property
     def fragments_dir(self) -> str:
@@ -73,11 +73,51 @@ class IndexStore:
 
     @property
     def segments_path(self) -> str:
-        return os.path.join(self.root, "segments")
+        return self._epoch_path("segments")
 
     @property
     def staged_path(self) -> str:
         return os.path.join(self.root, "staged")
+
+    # ---- epoch pointer: atomic snapshot swap (Iceberg-style contract) ----
+    # segments/term_stats live in immutable per-epoch directories
+    # (segments-000001/, ...). Writers build the NEXT epoch's directories,
+    # then flip meta.json (os.replace = atomic) so readers resolve either
+    # the old snapshot or the new one — never a torn table. The previous
+    # epoch is retained for readers that resolved the pointer just before
+    # the flip; older epochs are GC'd.
+
+    def current_epoch(self) -> int | None:
+        if not os.path.exists(self.meta_path):
+            return None
+        ep = self.read_meta().get("epoch")
+        return None if ep is None else int(ep)
+
+    def _epoch_path(self, prefix: str) -> str:
+        ep = self.current_epoch()
+        name = prefix if ep is None else f"{prefix}-{ep:06d}"
+        return os.path.join(self.root, name)
+
+    def epoch_path(self, prefix: str, epoch: int) -> str:
+        return os.path.join(self.root, f"{prefix}-{epoch:06d}")
+
+    def gc_epochs(self, current: int) -> None:
+        """Drop epoch dirs older than current-1 (keep current + previous;
+        the previous covers readers that resolved the pointer pre-flip),
+        plus legacy un-epoched dirs once two epoched snapshots exist."""
+        import re
+        import shutil
+
+        pat = re.compile(r"^(segments|term_stats)-(\d{6})$")
+        for name in os.listdir(self.root):
+            m = pat.match(name)
+            if m and int(m.group(2)) < current - 1:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        if current >= 2:
+            for prefix in ("segments", "term_stats"):
+                p = os.path.join(self.root, prefix)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
 
     def ensure_dirs(self) -> None:
         for d in (self.root, self.fragments_dir, self.manifest_dir):

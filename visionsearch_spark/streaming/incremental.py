@@ -54,12 +54,28 @@ def pending_rows(transcripts: DataFrame, store: IndexStore) -> DataFrame:
 
 def incremental_build(transcripts: DataFrame, root: str,
                       n_partitions: int | None = None) -> IndexStore:
-    """Index only rows absent from the docmap, appending to the store."""
-    from visionsearch_spark.index.spimi import (
-        _compact_segments,
-        _make_spimi_fn,
-        build_index,
-    )
+    """Index only rows absent from the docmap, appending to the store.
+
+    Crash-safe append protocol (the staged parquet IS the docmap, so an
+    un-indexed staged row would otherwise be hidden forever by the
+    pending_rows anti-join):
+
+      1. intent  — meta.phase = "appending" is written BEFORE the staged
+                   append; corpus stats in meta still describe the current
+                   (old) snapshot, so concurrent readers stay consistent.
+      2. append  — delta rows staged (job-commit atomic: readers ignore
+                   in-flight _temporary files).
+      3. finish  — SPIMI every staged pid lacking a committed manifest,
+                   merge ALL fragments into a NEW epoch, then flip
+                   meta (stats + epoch + phase="built") in one atomic
+                   os.replace.
+
+    A crash anywhere after (1) leaves phase="appending"; the next call
+    detects it and re-runs (3), which is idempotent: docid/pid bases are
+    derived from max() over the staged table — never from possibly-stale
+    meta — and committed pids are skipped via their manifests.
+    """
+    from visionsearch_spark.index.spimi import build_index
 
     spark = transcripts.sparkSession
     store = IndexStore(root)
@@ -67,45 +83,71 @@ def incremental_build(transcripts: DataFrame, root: str,
         return build_index(transcripts, root, n_partitions=n_partitions)
 
     meta = store.read_meta()
+    needs_repair = meta.get("phase") == "appending"
     n_partitions = n_partitions or int(meta["n_partitions"])
     delta = pending_rows(
         transcripts.select("conv_id", "turn_idx", "text"), store
     )
     if delta.isEmpty():
-        return store
+        if not needs_repair:
+            return store
+    else:
+        # docid/pid bases come from the STAGED table (the source of truth),
+        # not meta["n_docs"]: after a crashed append meta is stale and
+        # would assign colliding docids to the orphaned staged rows.
+        bounds = spark.read.parquet(store.staged_path).agg(
+            F.max("docid").alias("d"), F.max("pid").alias("p")
+        ).collect()[0]
+        base = int(bounds["d"]) + 1
+        pid_base = int(bounds["p"]) + 1
+        cache_handle: list = []
+        with_ids, n_new = assign_docids_with_count(
+            delta, n_partitions, unpersist_handle=cache_handle
+        )
+        toks = (
+            with_ids.withColumn("docid", F.col("docid") + F.lit(base))
+            .select("docid", "conv_id", "turn_idx",
+                    tokens_col("text").alias("tokens"))
+            .withColumn("dl", F.size("tokens"))
+        )
+        rows_per_pid = max(1, -(-n_new // n_partitions))
+        staged = toks.withColumn(
+            "pid",
+            (F.lit(pid_base)
+             + (F.col("docid") - F.lit(base)) / F.lit(rows_per_pid))
+            .cast("int"),
+        )
+        meta["phase"] = "appending"  # intent record BEFORE the append
+        store.write_meta(meta)
+        staged.write.mode("append").parquet(store.staged_path)
+        for cached in cache_handle:  # staged parquet supersedes the cache
+            cached.unpersist()
 
-    base = int(meta["n_docs"])
-    with_ids, n_new = assign_docids_with_count(delta, n_partitions)
-    toks = (
-        with_ids.withColumn("docid", F.col("docid") + F.lit(base))
-        .select("docid", "conv_id", "turn_idx", tokens_col("text").alias("tokens"))
-        .withColumn("dl", F.size("tokens"))
-    )
-    pid_base = 1 + max(
-        (m["partition_id"] for m in store.manifests()), default=-1
-    )
-    rows_per_pid = max(1, -(-n_new // n_partitions))
-    staged = toks.withColumn(
-        "pid",
-        (F.lit(pid_base) + (F.col("docid") - F.lit(base)) / F.lit(rows_per_pid))
-        .cast("int"),
-    )
-    staged.write.mode("append").parquet(store.staged_path)
+    return _finish_append(spark, store, meta, n_partitions)
 
-    # refresh corpus stats BEFORE SPIMI (avgdl feeds block_max); the
-    # docmap IS the staged table (column-pruned view, store.docmap_path)
+
+def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
+                   n_partitions: int) -> IndexStore:
+    """Complete (or repair) an append: SPIMI every staged pid without a
+    committed manifest, merge all fragments into a fresh epoch, flip meta
+    atomically. Idempotent — safe to re-run after any crash."""
+    from visionsearch_spark.index.spimi import _compact_segments, _make_spimi_fn
+
     sdf = spark.read.parquet(store.staged_path)
-    n_docs = base + n_new
-    avgdl = float(sdf.agg(F.avg("dl")).collect()[0][0])
-    meta.update({"n_docs": n_docs, "avgdl": avgdl})
-    store.write_meta(meta)
+    stats = sdf.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
 
+    pending = sdf
+    done = store.done_partitions()
+    if done:
+        pending = sdf.filter(~F.col("pid").isin(sorted(done)))
     spimi_fn = _make_spimi_fn(
         store.root, avgdl, int(meta["shard_range"]), frozenset()
     )
     (
-        sdf.filter(F.col("pid") >= pid_base)
-        .select("pid", "docid", "dl", "tokens")
+        pending.select("pid", "docid", "dl", "tokens")
         .repartition(n_partitions, "pid")
         .sortWithinPartitions("pid", "docid")
         .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
@@ -117,18 +159,22 @@ def incremental_build(transcripts: DataFrame, root: str,
         .option("pathGlobFilter", "fragment-*.parquet")
         .parquet(store.fragments_dir)
     )
+    next_ep = int(meta.get("epoch") or 0) + 1
     frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
         "overwrite"
-    ).parquet(store.term_stats_path)
+    ).parquet(store.epoch_path("term_stats", next_ep))
     compacted = _compact_segments(frags, int(meta["shard_range"]), avgdl)
     (
         compacted.repartition(n_partitions, "shard")
         .sortWithinPartitions("shard", "term", "min_docid")
         .write.mode("overwrite")
-        .parquet(store.segments_path)
+        .parquet(store.epoch_path("segments", next_ep))
     )
-    meta["phase"] = "built"
-    store.write_meta(meta)
+    meta.update(
+        {"n_docs": n_docs, "avgdl": avgdl, "epoch": next_ep, "phase": "built"}
+    )
+    store.write_meta(meta)  # the atomic snapshot flip
+    store.gc_epochs(next_ep)
     from visionsearch_spark.query.wand import invalidate_term_df_memo
 
     invalidate_term_df_memo(store.root)  # df/N changed under this root
