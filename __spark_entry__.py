@@ -96,6 +96,48 @@ def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTERED_QUERY = ("join filter stream", 20, "src1")
+
+
+def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k (predicate ∧ BM25): rank only docs whose
+    source starts with the prefix, under UNCHANGED global stats — the
+    reference's S2 scan filter composed with search. The allow-set rides
+    the shard shuffle as sideband rows (wand.py docid_filter)."""
+    qtext, k, prefix = FILTERED_QUERY
+    store = get_documents_index(spark, sf_dir)
+    allowed_convs = (
+        spark.read.parquet(_p(sf_dir, "documents"))
+        .filter(F.col("source").startswith(prefix))
+        .select(F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id"))
+    )
+    allowed = (
+        spark.read.parquet(store.docmap_path).select("docid", "conv_id")
+        .join(allowed_convs, "conv_id").select("docid")
+    )
+    res = batch_topk(spark, store, [(0, qtext, k)], docid_filter=allowed)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+UNIT_QUERY = ("join filter stream", 20)
+
+
+def _bm25_unit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-unit fan-out search: docs ranked by MAX unit BM25 score
+    (units.py; the reference caption variant's per-doc collapse)."""
+    from visionsearch_spark.corpus import get_documents_unit_index
+    from visionsearch_spark.query.units import unit_topk
+
+    qtext, k = UNIT_QUERY
+    store = get_documents_unit_index(spark, sf_dir)
+    res = unit_topk(spark, store, qtext, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.analyzer import tokens_col
 
@@ -337,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         {
             "bm25_batch": _bm25_batch,
+            "bm25_filtered": _bm25_filtered,
+            "bm25_unit_topk": _bm25_unit_topk,
             "token_count": _token_count,
             "term_df_top": _term_df_top,
             "corpus_stats": _corpus_stats,
@@ -604,9 +648,12 @@ SELECT vec_id, round(cos, 6) AS cos FROM scored
 ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
-def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool) -> str:
+def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
+                 doc_pred: str | None = None) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
-    the driver-side twin of visionsearch_spark.oracle."""
+    the driver-side twin of visionsearch_spark.oracle. doc_pred restricts
+    which docs are RANKED (filter-the-results semantics); df/N/avgdl stay
+    global, mirroring wand.batch_topk(docid_filter=...)."""
     toks = duckdb_tokens("text")
     qrows = ", ".join(
         f"({qid}, '{t}', {kk})"
@@ -617,6 +664,10 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool) -> str:
         "query_id, doc_id, round(score, 6) AS score"
         if with_qid
         else "doc_id, round(score, 6) AS score"
+    )
+    flt = (
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_pred})"
+        if doc_pred else ""
     )
     return f"""
 WITH q(query_id, term, k) AS (VALUES {qrows}),
@@ -639,6 +690,7 @@ scored AS (
               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
   FROM q JOIN tf USING(term) JOIN df USING(term) JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {flt}
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
@@ -650,6 +702,62 @@ SELECT {proj} FROM ranked WHERE rnk <= k
 """
 
 
+def _unit_bm25_oracle(qtext: str, k: int) -> str:
+    """DuckDB twin of units.unit_topk: per-unit BM25 under UNIT corpus
+    stats (zero-token parts excluded), MAX collapse per doc, top-k with
+    (score desc, doc_id asc) tie-break. Unit numbering uses parallel
+    unnest (DuckDB 1.0 has no WITH ORDINALITY) and matches Spark's
+    posexplode-then-filter ordering."""
+    from visionsearch_spark.analyzer import SENT_SPLIT_RE_STR
+
+    terms = sorted(set(tokenize(qtext)))
+    qrows = ", ".join(f"('{t}')" for t in terms)
+    toks_part = duckdb_tokens("part")
+    return f"""
+WITH q(term) AS (VALUES {qrows}),
+p0 AS (
+  SELECT doc_id, regexp_split_to_array(text, '{SENT_SPLIT_RE_STR}') AS pa
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, unnest(pa) AS part,
+         unnest(generate_series(1, len(pa))) AS unit_idx
+  FROM p0
+),
+units AS (
+  SELECT doc_id, unit_idx, {toks_part} AS tk FROM parts
+  WHERE len({toks_part}) > 0
+),
+stats AS (
+  SELECT (SELECT count(*) FROM units) AS n_units,
+         (SELECT avg(len(tk)) FROM units) AS avgdl
+),
+toks AS (SELECT doc_id, unit_idx, unnest(tk) AS term FROM units),
+dl AS (SELECT doc_id, unit_idx, count(*) AS dl FROM toks GROUP BY 1, 2),
+tf AS (
+  SELECT doc_id, unit_idx, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.unit_idx,
+         sum( ln(1.0 + (s.n_units - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.unit_idx = tf.unit_idx
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.unit_idx
+),
+collapsed AS (SELECT doc_id, max(score) AS score FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM collapsed
+)
+SELECT doc_id, round(score, 6) AS score FROM ranked WHERE rnk <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = duckdb_tokens("text")
     sql: dict[str, str] = {
@@ -657,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
         for name, (text, k) in BM25_QUERIES.items()
     }
     sql["bm25_batch"] = _bm25_oracle(BM25_BATCH, with_qid=True)
+    sql["bm25_filtered"] = _bm25_oracle(
+        [(0, FILTERED_QUERY[0], FILTERED_QUERY[1])], with_qid=False,
+        doc_pred=f"source LIKE '{FILTERED_QUERY[2]}%'",
+    )
+    sql["bm25_unit_topk"] = _unit_bm25_oracle(*UNIT_QUERY)
     sql["token_count"] = f"SELECT doc_id, len({toks}) AS n_tokens FROM documents"
     sql["term_df_top"] = f"""
         WITH tf AS (

@@ -60,6 +60,14 @@ DUCKDB_TOKENS_SQL = (
     "list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'), t -> t <> '')"
 )
 
+# Sentence-unit split (the reference's caption split,
+# `/root/reference/visionsearch/scripts/generate_captions.py:95`): cut at
+# runs of terminal punctuation. No lookbehind — RE2 (DuckDB) lacks it, so
+# the same pattern is byte-identical in Java regex and RE2; empty parts
+# are kept by BOTH engines and dropped downstream by the no-tokens filter
+# AFTER ordinal assignment, keeping unit numbering aligned.
+SENT_SPLIT_RE_STR = "[.!?]+"
+
 
 def duckdb_tokens(col: str) -> str:
     return DUCKDB_TOKENS_SQL.format(col=col)

@@ -50,3 +50,61 @@ def get_documents_index(spark: SparkSession, sf_dir: str,
         return store
     tx = documents_as_transcripts(spark, sf_dir)
     return build_index(tx, root, n_partitions=n_partitions)
+
+
+def documents_as_unit_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-unit fan-out of the documents corpus: one doc -> N units,
+    unit key = (conv_id='doc-%010d', turn_idx=1-based split ordinal).
+
+    The reference's caption variant indexes one image as N caption
+    sentences (`VisionAISearchWithCaption.build`,
+    `/root/reference/visionsearch/common_utils/aisearch/core.py:82-111`,
+    split at `scripts/generate_captions.py:95`). Zero-token parts are
+    dropped AFTER ordinal assignment (so unit numbering matches the SQL
+    oracle's parallel-unnest numbering) and excluded from unit corpus
+    stats."""
+    from visionsearch_spark.analyzer import SENT_SPLIT_RE_STR, tokens_col
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = docs.select(
+        F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id"),
+        F.posexplode(F.split(F.col("text"), SENT_SPLIT_RE_STR)).alias(
+            "pos", "part"
+        ),
+    )
+    return parts.filter(F.size(tokens_col("part")) > 0).select(
+        "conv_id",
+        (F.col("pos") + 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("part").alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def get_documents_unit_index(spark: SparkSession, sf_dir: str,
+                             n_partitions: int = 8) -> IndexStore:
+    """Unit-level index (one indexed unit per sentence) + doc_bounds
+    parquet (first unit docid per parent doc — the collapse map for
+    batch_topk(collapse_bounds=...))."""
+    from visionsearch_spark.query.units import DOC_BOUNDS_DIR
+
+    key = hashlib.sha1(
+        f"{CACHE_VERSION}-units:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_idx_{key}")
+    store = IndexStore(root)
+    bounds_path = os.path.join(root, DOC_BOUNDS_DIR)
+    if (os.path.exists(store.meta_path)
+            and store.read_meta().get("phase") == "built"
+            and os.path.exists(bounds_path)):
+        return store
+    tx = documents_as_unit_transcripts(spark, sf_dir)
+    store = build_index(tx, root, n_partitions=n_partitions)
+    (
+        spark.read.parquet(store.docmap_path)
+        .groupBy("conv_id").agg(F.min("docid").alias("docid"))
+        .select("docid")
+        .write.mode("overwrite").parquet(bounds_path)
+    )
+    return store

@@ -45,6 +45,45 @@ from visionsearch_spark.index.store import IndexStore
 
 RESULT_DDL = "query_id long, rank int, docid long, conv_id string, turn_idx int, score double"
 
+# Sideband row tags: "\x00" never appears in analyzer output ([0-9a-z]+),
+# so these rows ride the SAME shard shuffle as the postings — each task
+# receives exactly its shard's allow-list / doc-boundary docids, with no
+# broadcast of unbounded sets.
+ALLOW_TERM = "\x00allow"
+BOUNDS_TERM = "\x00bounds"
+
+
+def _sideband_rows(docids_df: DataFrame, shard_range: int, tag: str) -> DataFrame:
+    """Pack a docid set into segment-schema rows (one per shard): the
+    docids are delta+varint encoded with the posting codec and delivered
+    co-partitioned with the blocks they gate."""
+    from visionsearch_spark.index.codec import encode_docids
+
+    @F.pandas_udf("binary")
+    def pack(lst: pd.Series) -> pd.Series:
+        return lst.map(
+            lambda v: encode_docids(np.asarray(v, dtype=np.int64))
+        )
+
+    return (
+        docids_df.select("docid")
+        .withColumn("shard", (F.col("docid") / F.lit(shard_range)).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.sort_array(F.collect_list("docid")).alias("ds"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .select(
+            F.lit(tag).alias("term"),
+            "shard",
+            "n",
+            pack("ds").alias("docids_bin"),
+            F.lit(b"").alias("tfs_bin"),
+            F.lit(b"").alias("dls_bin"),
+            F.lit(0.0).alias("block_max"),
+        )
+    )
+
 
 def _topk_tiebreak(docids: np.ndarray, scores: np.ndarray, k: int
                    ) -> tuple[np.ndarray, np.ndarray]:
@@ -57,9 +96,15 @@ def _topk_tiebreak(docids: np.ndarray, scores: np.ndarray, k: int
 
 
 def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
-                   avgdl: float, threshold: float):
+                   avgdl: float, threshold: float,
+                   has_filter: bool = False, has_bounds: bool = False):
     """qplans: [(query_id, [(term, idf, term_rank)], k)]; term_rank is the
-    query-term's position in sorted unique-term order (summation order)."""
+    query-term's position in sorted unique-term order (summation order).
+
+    has_filter/has_bounds are PLAN-level flags: a task whose shards hold
+    no allowed docids receives zero allow sideband rows, which must mean
+    'allowed set empty here' — inferring the mode from row presence would
+    silently disable the filter in exactly those tasks."""
     from visionsearch_spark.bm25 import B, K1
     from visionsearch_spark.index.codec import decode_docids, decode_varint
 
@@ -67,24 +112,46 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
     for qid, terms, _k in qplans:
         for t, w, r in terms:
             by_term.setdefault(t, []).append((qid, w, r))
-    kmap = {qid: k for qid, _t, k in qplans}
     single_term_q = {
         qid: terms[0][0] for qid, terms, _k in qplans if len(terms) == 1
     }
 
     def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # gather this partition's blocks per term
+        from visionsearch_spark.index.codec import decode_docids as _dec
+
+        # gather this partition's blocks per term + sideband docid sets
         blocks: dict[str, list[tuple]] = {}
+        allow_parts: list[np.ndarray] = []
+        bounds_parts: list[np.ndarray] = []
         for batch in batches:
             pdf = batch.to_pandas()
             for row in pdf.itertuples(index=False):
-                if row.term in by_term:
+                if row.term == ALLOW_TERM:
+                    allow_parts.append(_dec(row.docids_bin, row.n))
+                elif row.term == BOUNDS_TERM:
+                    bounds_parts.append(_dec(row.docids_bin, row.n))
+                elif row.term in by_term:
                     blocks.setdefault(row.term, []).append(
                         (row.n, row.docids_bin, row.tfs_bin, row.dls_bin,
                          row.block_max)
                     )
         if not blocks:
             return
+        allow = None
+        if has_filter:
+            allow = (
+                np.unique(np.concatenate(allow_parts))
+                if allow_parts else np.empty(0, dtype=np.int64)
+            )
+        bounds = None
+        if has_bounds:
+            if not bounds_parts:
+                # carry rows cover every shard from the first doc on, so a
+                # block-bearing task with no bounds is a wiring bug — fail
+                # loudly rather than emit un-collapsed units
+                raise RuntimeError("collapse requested but no bounds rows")
+            bounds = np.unique(np.concatenate(bounds_parts))
+        has_sideband = has_filter or has_bounds
         out_qid: list[np.ndarray] = []
         out_docid: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
@@ -108,7 +175,10 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             ub = sum(w * max(b[4] for b in blocks[t]) for t, w, _r in present)
             if ub <= threshold:
                 continue  # safe partition skip: no doc here can pass
-            if qid in single_term_q:
+            if qid in single_term_q and not has_sideband:
+                # block-max pruning assumes every decoded doc is a
+                # candidate; with an allow-filter or unit-collapse active
+                # the exact path below applies the mask/collapse first
                 t, w, _r = present[0]
                 d, s = _single_term_topk(blocks[t], w, k, threshold, avgdl)
                 if d.size:
@@ -133,6 +203,27 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
             uniq = d[starts]
             sums = np.add.reduceat(c, starts)
+            if allow is not None:  # metadata filter: mask BEFORE the k-cut
+                if allow.size:
+                    pos = np.searchsorted(allow, uniq)
+                    pos = np.minimum(pos, allow.size - 1)
+                    m = allow[pos] == uniq
+                else:
+                    m = np.zeros(uniq.size, dtype=bool)
+                uniq, sums = uniq[m], sums[m]
+            if bounds is not None and uniq.size:
+                # unit->doc collapse: parent = last boundary <= docid.
+                # uniq ascending => parent ascending (monotone), so runs
+                # are contiguous and per-doc max is one reduceat.
+                pidx = np.searchsorted(bounds, uniq, side="right") - 1
+                if pidx[0] < 0:
+                    raise RuntimeError("docid below every bound (carry bug)")
+                parent = bounds[pidx]
+                st = np.concatenate(
+                    ([0], np.flatnonzero(parent[1:] != parent[:-1]) + 1)
+                )
+                uniq = parent[st]
+                sums = np.maximum.reduceat(sums, st)
             keep = sums > threshold
             uniq, sums = uniq[keep], sums[keep]
             if uniq.size > k:
@@ -229,6 +320,37 @@ def invalidate_term_df_memo(root: str | None = None) -> None:
             _TERM_DF_MEMO.pop(k, None)
 
 
+def _carry_bounds_rows(spark: SparkSession, bounds: DataFrame,
+                       shard_range: int, n_docs: int) -> DataFrame:
+    """A parent doc's units can straddle a shard edge: the later shard
+    holds units whose boundary docid lives in an earlier shard. Forward-
+    fill the last boundary per shard and emit it as one extra sideband
+    row per shard. Driver-side state is one int per shard — the same
+    bounded-metadata class as the docid offsets (docid.py)."""
+    from visionsearch_spark.index.codec import encode_docids
+
+    per_shard = {
+        int(r["shard"]): int(r["m"])
+        for r in bounds.select("docid")
+        .withColumn("shard", (F.col("docid") / F.lit(shard_range)).cast("long"))
+        .groupBy("shard").agg(F.max("docid").alias("m")).collect()
+    }
+    max_shard = max(0, (n_docs - 1) // shard_range)
+    rows, cur = [], None
+    for s in range(max_shard + 1):
+        if cur is not None:
+            rows.append(
+                (BOUNDS_TERM, s, 1,
+                 bytes(encode_docids(np.asarray([cur], dtype=np.int64))),
+                 b"", b"", 0.0)
+            )
+        if s in per_shard:
+            cur = per_shard[s]
+    ddl = ("term string, shard long, n int, docids_bin binary, "
+           "tfs_bin binary, dls_bin binary, block_max double")
+    return spark.createDataFrame(rows, ddl)
+
+
 def batch_topk(
     spark: SparkSession,
     store: IndexStore,
@@ -236,6 +358,8 @@ def batch_topk(
     threshold: float = 0.0,
     n_tasks: int | None = None,
     driver_merge: bool = False,
+    docid_filter: DataFrame | None = None,
+    collapse_bounds: DataFrame | None = None,
 ) -> DataFrame:
     """queries: [(query_id, query_text, k)] -> DataFrame(RESULT_DDL).
 
@@ -248,9 +372,27 @@ def batch_topk(
     lookup becomes a docid-IN-pushdown scan. Identical results: the
     tie-break (score desc, conv_id, turn_idx) equals (score desc, docid)
     because docids are assigned in (conv_id, turn_idx) order (docid.py).
+
+    docid_filter: DataFrame with a `docid` column — metadata-filtered
+    search (predicate ∧ top-k): only these docids are ranked, with
+    UNCHANGED global stats (df/N/avgdl), i.e. filter-the-results
+    semantics, the reference's S2 prefix-filter composed with search.
+    The set is delivered per docid-range shard as sideband rows through
+    the same shuffle as the postings (no unbounded broadcast), and masks
+    candidates BEFORE the per-partition k-cut, so the cut stays exact.
+
+    collapse_bounds: DataFrame with a `docid` column holding the FIRST
+    unit docid of each parent document (unit fan-out stores, units.py):
+    per-unit scores collapse to per-document max BEFORE the k-cut (the
+    cut is exact at doc level: a doc's best-unit partition gives its
+    global max, so fewer than k docs can outrank it there). Result docid
+    = the parent's first-unit docid.
     """
+    if driver_merge and collapse_bounds is not None:
+        raise ValueError("driver_merge does not support collapse_bounds")
     meta = store.read_meta()
     avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
+    shard_range = int(meta["shard_range"])
     qtoks = {qid: sorted(set(tokenize(text))) for qid, text, _k in queries}
     all_terms = sorted({t for ts in qtoks.values() for t in ts})
     if not all_terms or n_docs == 0:
@@ -274,12 +416,31 @@ def batch_topk(
         spark.read.parquet(store.segments_path)
         .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
         .select("term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin", "block_max")
-        .repartition(n_tasks, "shard")  # docid-range co-location
     )
+    if docid_filter is not None:
+        seg = seg.unionByName(
+            _sideband_rows(docid_filter, shard_range, ALLOW_TERM)
+        )
+    if collapse_bounds is not None:
+        seg = seg.unionByName(
+            _sideband_rows(collapse_bounds, shard_range, BOUNDS_TERM)
+        ).unionByName(
+            _carry_bounds_rows(spark, collapse_bounds, shard_range, n_docs)
+        )
+    seg = seg.repartition(n_tasks, "shard")  # docid-range co-location
     partials = seg.mapInArrow(
-        _make_score_fn(qplans, avgdl, threshold),
+        _make_score_fn(
+            qplans, avgdl, threshold,
+            has_filter=docid_filter is not None,
+            has_bounds=collapse_bounds is not None,
+        ),
         "query_id long, docid long, score double",
     )
+    if collapse_bounds is not None:
+        # partitions sharing a straddling doc each emit a partial max
+        partials = partials.groupBy("query_id", "docid").agg(
+            F.max("score").alias("score")
+        )
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
