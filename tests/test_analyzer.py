@@ -20,7 +20,18 @@ CASES = [
     "MiXeD CaSe 123abc ABC123",
     "trailing space ",
     " léading",
+    # NFC/NFD pairs: no impl normalizes, so composed 'é' is one separator
+    # ('caf') while decomposed e+combining-acute leaves the base letter
+    # ('cafe') — BOTH must agree across all three engines (r1 ADVICE).
+    "Caf\u00e9 au lait",       # NFC: composed e-acute
+    "Cafe\u0301 au lait",      # NFD: e + combining acute
+    "r\u00e9sum\u00e9 vs re\u0301sume\u0301",
 ]
+
+
+def test_nfc_nfd_divergence_is_consistent():
+    assert tokenize("Caf\u00e9") == ["caf"]     # composed: separator
+    assert tokenize("Cafe\u0301") == ["cafe"]   # decomposed: base stays
 
 
 def test_python_tokenizer_basics():

@@ -74,3 +74,18 @@ def test_frame_sample_requires_metadata(spark):
     vids = spark.createDataFrame([(0,)], "media_id long")
     with pytest.raises(ValueError):
         frame_sample_plan(vids)
+
+
+def test_frame_sample_zero_frames(spark):
+    """n_frames=0 must yield zero rows, not 'Illegal sequence boundaries'
+    (F.sequence(0, -1) descends — r1 ADVICE)."""
+    from visionsearch_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, 90), (2, 0), (3, 1)], "media_id long, n_frames int"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"])
+        for r in frame_sample_plan(media, every_n=30).collect()
+    }
+    assert got == {(1, 0), (1, 30), (1, 60), (3, 0)}

@@ -71,3 +71,29 @@ def test_ann_lsh_recall(spark, emb):
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5  # approximate by design; exact path is the oracle
     assert approx[0] == 0  # the query vector itself always survives pruning
+
+
+def test_indexed_ann_matches_on_the_fly(spark, emb, tmp_path_factory):
+    """The persisted-signature path returns exactly what the recompute
+    path returns (same planes/seed), and its plan filters on the stored
+    sig column instead of dim*n_planes dot products per row."""
+    from visionsearch_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk_lsh_indexed,
+    )
+
+    root = str(tmp_path_factory.mktemp("ann_idx"))
+    build_ann_index(emb, root, n_planes=16, seed=7)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding")
+                .limit(1).collect()[0][0])
+    fly = cosine_topk_lsh(emb, qvec, k=20, n_planes=16, max_hamming=6).collect()
+    idx = cosine_topk_lsh_indexed(emb, root, qvec, k=20, max_hamming=6).collect()
+    assert [(r["vec_id"], r["cos"]) for r in fly] == [
+        (r["vec_id"], r["cos"]) for r in idx
+    ]
+    plan = cosine_topk_lsh_indexed(emb, root, qvec, k=20, max_hamming=6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the prune scans ONLY the 16-byte sidecar rows (id, sig) — vector
+    # bytes of pruned rows are never read
+    assert "bit_count" in plan
+    assert "ReadSchema: struct<id:bigint,sig:bigint>" in plan

@@ -1,30 +1,33 @@
 """The frozen analyzer: one tokenization spec, three interchangeable impls.
 
 Spec (FIXTURES.md §5; rank-identity of BM25 depends on never changing it):
-    NFC normalize -> lowercase -> split on any run of chars outside
-    [0-9a-z] -> drop empty tokens. No stemming, no stopwords.
+    lowercase -> split on any run of chars outside [0-9a-z] -> drop empty
+    tokens. No stemming, no stopwords, and NO unicode normalization: any
+    non-[0-9a-z] codepoint (accents, combining marks, precomposed chars)
+    is a separator in ALL THREE engines regardless of normalization form,
+    so 'café' and decomposed 'cafe\\u0301' tokenize per their raw bytes
+    ('caf' / 'cafe') identically everywhere. An earlier draft NFC-
+    normalized only in the Python impl, which silently diverged from
+    Spark/DuckDB on decomposed input (round-1 ADVICE); callers that need
+    NFC semantics must normalize at ingest, before the engine.
 
 Reference precedent: lowercase-normalize at
 `/root/reference/visionsearch/common_utils/embedding/__init__.py:6` and the
 sentence-split regex at
 `/root/reference/visionsearch/scripts/generate_captions.py:95`.
 
-Three implementations, proven equal by tests/test_analyzer.py:
+Three implementations, proven equal by tests/test_analyzer.py (including
+NFD/NFC paired cases):
 
 * :func:`tokenize` — pure Python; used by the exhaustive-BM25 oracle.
 * :func:`tokens_col` — Spark Column expression (JVM-side, whole-stage
   codegen; the hot path — no Python crosses the executor boundary).
 * :data:`DUCKDB_TOKENS_SQL` — DuckDB SQL fragment for the driver oracle.
-
-For ASCII-dominant corpora the three agree exactly: any non-[0-9a-z]
-codepoint (including all accented/NFC-affected chars) is a separator in
-all three engines, so NFC differences never reach a token.
 """
 
 from __future__ import annotations
 
 import re
-import unicodedata
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -38,8 +41,7 @@ def tokenize(text: str | None) -> list[str]:
     """Pure-Python analyzer (oracle + query-side parsing on the driver)."""
     if not text:
         return []
-    text = unicodedata.normalize("NFC", text).lower()
-    return [t for t in TOKEN_SEP_RE.split(text) if t]
+    return [t for t in TOKEN_SEP_RE.split(text.lower()) if t]
 
 
 def tokens_col(col: Column | str) -> Column:

@@ -108,9 +108,11 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     reading payload at plan time)."""
     if "n_frames" not in media.columns:
         raise ValueError("frame_sample_plan requires an n_frames metadata column")
-    return media.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    # F.sequence(0, x) DESCENDS for x < 0: n_frames=0 would throw
+    # "Illegal sequence boundaries" at runtime — zero-frame media yields
+    # zero rows instead (same guard as shingles()).
+    idxs = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return media.select("media_id", F.explode(idxs).alias("frame_idx"))
