@@ -251,6 +251,15 @@ def _simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs).withColumnRenamed("id", "doc_id")
 
 
+def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming-<=3 pairing via pigeonhole-complete banded buckets
+    (dedup.simhash_pairs) — closes the r1 'signatures only' gap."""
+    from visionsearch_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return simhash_pairs(docs, max_hamming=3)
+
+
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.textstats import lang_id
 
@@ -407,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _dedup_minhash_lsh,
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
             "simhash32": _simhash32,
+            "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
             "quality_score": _quality_score,
             "doc_fingerprint": _doc_fingerprint,
@@ -850,6 +860,14 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)
     sql["simhash32"] = _simhash_oracle(32)
+    sql["simhash_neardup"] = (
+        "WITH s AS (" + _simhash_oracle(32) + """)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+    )
     sql["lang_id"] = _lang_id_oracle()
     sql["quality_score"] = _quality_oracle()
     sql["doc_fingerprint"] = _fingerprint_oracle()

@@ -71,11 +71,17 @@ qtexts = ["join filter stream", "vector scan merge", "window row group",
           "the fast key", "agg line part column", "slow small batch",
           "customer order"]
 queries = [(i, q, 10) for i, q in enumerate(qtexts * 4)]
-t0 = time.perf_counter()
-batch_topk(spark, store, queries).count()
-query_sec = time.perf_counter() - t0
+# median of 3: a single shot right after the build is dominated by
+# post-build JVM/worker state (GC, memo warm), not the query engine
+reps = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    batch_topk(spark, store, queries).count()
+    reps.append(time.perf_counter() - t0)
+query_sec = sorted(reps)[1]
 print(json.dumps({"cores": cores, "build_sec": build_sec,
-                  "query_sec": query_sec, "n_docs": n_docs}))
+                  "query_sec": query_sec, "query_reps": reps,
+                  "n_docs": n_docs}))
 spark.stop()
 shutil.rmtree(scratch, ignore_errors=True)
 """

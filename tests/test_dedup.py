@@ -96,3 +96,37 @@ def test_simhash_properties(spark, docs_df):
     ham_near = bin(got[0] ^ got[1]).count("1")
     ham_far = bin(got[0] ^ got[4]).count("1")
     assert ham_near < ham_far  # near-dup closer than unrelated doc
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """Banded Hamming pairing is EXACT (pigeonhole): compare against the
+    all-pairs bit_count oracle on a corpus with planted near-duplicates."""
+    import random
+
+    from visionsearch_spark.operators.dedup import simhash_pairs
+
+    rng = random.Random(7)
+    vocab = ["join", "filter", "stream", "spark", "index", "merge", "scan",
+             "sort", "cache", "row", "group", "hash", "table", "query"]
+    rows = []
+    for d in range(120):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(12)]
+        rows.append((d, " ".join(words)))
+        if d % 3 == 0:  # planted near-dup: one word changed
+            mutated = list(words)
+            mutated[rng.randrange(len(words))] = vocab[rng.randrange(len(vocab))]
+            rows.append((1000 + d, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    ids = sorted(sigs)
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert expected, "fixture must produce close pairs"
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == expected

@@ -1,0 +1,132 @@
+"""HTTP surface (S9 upload source / S10 serving sink): /search parity with
+LocalSearcher, /upload -> spool -> streaming ingest -> searchable,
+static-file traversal guard."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from visionsearch_spark.index.spimi import build_index
+from visionsearch_spark.query.serving import LocalSearcher
+from visionsearch_spark.sources.http_api import ServingApp
+
+
+@pytest.fixture(scope="module")
+def served(spark, transcripts, tmp_path_factory):
+    base = tmp_path_factory.mktemp("http")
+    root = str(base / "idx")
+    spool = str(base / "spool")
+    static = str(base / "static")
+    os.makedirs(static)
+    with open(os.path.join(static, "thumb.bin"), "wb") as f:
+        f.write(b"\x89PNGfake")
+    with open(str(base / "secret.txt"), "w") as f:
+        f.write("outside")
+    store = build_index(transcripts, root, n_partitions=4)
+    searcher = LocalSearcher(store)
+    app = ServingApp(searcher, spool_dir=spool, static_dir=static)
+    srv = app.make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield url, searcher, spool, root, store
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_search_endpoint_matches_searcher(served):
+    url, searcher, *_ = served
+    for q, k in [("join filter", 5), ("zzzznotaword", 3)]:
+        status, body = _get(f"{url}/search?q={urllib.parse.quote(q)}&k={k}")
+        assert status == 200
+        exp = searcher.search(q, k=k)
+        assert [(h["docid"], h["conv_id"], h["turn_idx"]) for h in body["hits"]] \
+            == [(d, c, t) for d, c, t, _s in exp]
+        for h, (_d, _c, _t, s) in zip(body["hits"], exp):
+            assert math.isclose(h["score"], s, rel_tol=1e-12)
+
+
+def test_healthz(served):
+    url, searcher, *_ = served
+    status, body = _get(f"{url}/healthz")
+    assert status == 200 and body["n_docs"] == searcher.n_docs
+
+
+def test_upload_spools_then_streaming_ingests(spark, served):
+    from visionsearch_spark.query.wand import topk
+    from visionsearch_spark.streaming.incremental import (
+        stream_transcripts_to_index,
+    )
+
+    url, _searcher, spool, root, store = served
+    rows = [
+        {"conv_id": "zzz-upload", "turn_idx": 1,
+         "text": "freshly uploaded quixotic zebra document"},
+        {"conv_id": "zzz-upload", "turn_idx": 2,
+         "text": "second uploaded turn about zebras"},
+    ]
+    req = urllib.request.Request(
+        f"{url}/upload", data=json.dumps(rows).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["rows"] == 2
+    assert any(f.endswith(".parquet") for f in os.listdir(spool))
+
+    # the spool is a streaming file source: ingest appends to the index
+    n0 = store.read_meta()["n_docs"]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    ckpt = os.path.join(os.path.dirname(spool), "ckpt")
+    q = stream_transcripts_to_index(spark, spool, root, ckpt, schema)
+    q.awaitTermination(120)
+    assert store.read_meta()["n_docs"] == n0 + 2
+    got = topk(spark, store, "quixotic zebra", k=3).collect()
+    assert got and got[0]["conv_id"] == "zzz-upload"
+    # reloaded searcher serves the appended doc too
+    fresh = LocalSearcher(store)
+    hits = fresh.search("quixotic zebra", k=3)
+    assert hits and hits[0][1] == "zzz-upload"
+    assert fresh.n_docs == n0 + 2
+
+
+def test_static_serving_and_traversal_guard(served):
+    url, *_ = served
+    with urllib.request.urlopen(f"{url}/files/thumb.bin", timeout=10) as r:
+        assert r.status == 200 and r.read() == b"\x89PNGfake"
+    for path in ["/files/../secret.txt", "/files/%2e%2e/secret.txt"]:
+        try:
+            with urllib.request.urlopen(url + path, timeout=10) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status in (403, 404), path
+
+
+def test_upload_rejects_garbage(served):
+    url, *_ = served
+    for payload in [b"not json", b"{}", b"[]",
+                    b'[{"turn_idx": 1, "text": "missing conv_id"}]']:
+        req = urllib.request.Request(
+            f"{url}/upload", data=payload,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, payload

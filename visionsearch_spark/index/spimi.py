@@ -2,12 +2,15 @@
 per-partition checkpoint commits, then a docid-range-sharded compaction.
 
 Pipeline (SURVEY.md §3.2 "ours"):
-  1. STAGE    docid assignment (deterministic, docid.py) + JVM tokenize;
-              staged table (pid, docid, conv_id, turn_idx, dl, tokens)
-              written once — pid = docid * n_partitions // n_docs, a pure
-              function of docid, so resume is partition-stable by
-              construction (no dependence on physical partitioning).
-  2. SPIMI    mapInArrow over pid-grouped, docid-sorted rows: accumulate
+  1. STAGE    docid assignment (deterministic, docid.py) + JVM token
+              COUNT; staged table (pid, docid, conv_id, turn_idx, dl,
+              text) written once — raw text, NOT the token array (the
+              array would re-encode every text byte plus offsets,
+              doubling the build's one non-scaling write). pid = docid *
+              n_partitions // n_docs, a pure function of docid, so resume
+              is partition-stable by construction.
+  2. SPIMI    mapInArrow over pid-grouped, docid-sorted rows: re-tokenize
+              text (pandas str kernel, same frozen spec), accumulate
               term -> (docids, tfs, dls) per pid with pandas explode +
               groupby (vectorized — no per-row Python), cut blocks at 128
               docs AND at docid-shard boundaries (R), delta+varint encode,
@@ -44,7 +47,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from visionsearch_spark.analyzer import tokens_col
+from visionsearch_spark.analyzer import TOKEN_SEP_RE, tokens_col
 from visionsearch_spark.bm25 import B, K1
 from visionsearch_spark.docid import assign_docids_with_count
 from visionsearch_spark.index.store import (
@@ -194,13 +197,19 @@ def _make_spimi_fn(store_root: str, avgdl: float, shard_range: int,
                     out.append(flush(cur_pid))
                     acc.clear()
                 cur_pid = pid
-                ex = grp[["docid", "dl", "tokens"]].explode("tokens")
-                ex = ex.dropna(subset=["tokens"])
+                # re-tokenize from staged text (pandas str ops are C-level
+                # and scale with cores, unlike the staged write they
+                # replace); the frozen spec: lower -> split [^0-9a-z]+ ->
+                # drop empties — identical to analyzer.tokenize
+                toks = grp["text"].str.lower().str.split(TOKEN_SEP_RE)
+                ex = pd.DataFrame(
+                    {"docid": grp["docid"], "dl": grp["dl"], "term": toks}
+                ).explode("term")
+                ex = ex[ex["term"].notna() & (ex["term"] != "")]
                 counts = (
-                    ex.groupby(["tokens", "docid", "dl"], sort=False)
+                    ex.groupby(["term", "docid", "dl"], sort=False)
                     .size()
                     .reset_index(name="tf")
-                    .rename(columns={"tokens": "term"})
                 )
                 acc.append(counts[["term", "docid", "tf", "dl"]])
         if cur_pid is not None:
@@ -248,11 +257,15 @@ def build_index(
             unpersist_handle=cache_handle,
         )
         mark("assign_docids")
+        # staged-write diet: stage RAW text + dl, not the token array —
+        # the array re-encodes nearly every text byte plus offsets,
+        # roughly doubling the one big non-scaling write of the build
+        # (r1 scaling evidence: stage_write 1.4x for 4x cores). dl is
+        # counted JVM-side here (cheap — only the count shuffles); the
+        # SPIMI kernel re-tokenizes text with the same frozen spec.
         toks = (
-            with_ids.select(
-                "docid", "conv_id", "turn_idx", tokens_col("text").alias("tokens")
-            )
-            .withColumn("dl", F.size("tokens"))
+            with_ids.select("docid", "conv_id", "turn_idx", "text")
+            .withColumn("dl", F.size(tokens_col("text")))
         )
         # shard = query-time unit of docid-range co-location. Target ~128k
         # docs per shard (posting decode stays cache-friendly), but never
@@ -298,7 +311,7 @@ def build_index(
         frozenset(fail_partitions),
     )
     (
-        pending.select("pid", "docid", "dl", "tokens")
+        pending.select("pid", "docid", "dl", "text")
         .repartition(int(meta["n_partitions"]), "pid")
         .sortWithinPartitions("pid", "docid")
         .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)

@@ -55,7 +55,7 @@ class IndexStore:
     def docmap_path(self) -> str:
         """The docmap (docid, conv_id, turn_idx, dl) is a column-pruned
         view of the staged table — parquet column pruning skips the heavy
-        `tokens` column, so a separate materialization would only buy a
+        `text` column, so a separate materialization would only buy a
         second copy of the same bytes. Readers must select their columns."""
         return os.path.join(self.root, "staged")
 

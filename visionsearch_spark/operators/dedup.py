@@ -168,6 +168,47 @@ def _verify_jaccard(cands: DataFrame, sids: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_bits: int = 32) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    EXACT, not probabilistic: the signature is split into max_hamming+1
+    disjoint bit chunks; any pair within distance h differs in at most h
+    chunks, so it AGREES on >=1 chunk (pigeonhole) — the per-chunk
+    equality self-join therefore generates a COMPLETE candidate set, and
+    bit_count(xor) verifies the exact distance. Candidate volume per
+    chunk is sum over buckets of C(bucket,2): fine while 2^chunk_width
+    >> collision mass — for tighter thresholds the chunks widen and the
+    join gets MORE selective. Returns (id_a < id_b, hamming:int)."""
+    sig = simhash(docs, text_col, id_col, n_bits)
+    n_bands = max_hamming + 1
+    w = -(-n_bits // n_bands)  # ceil: chunks cover all bits
+    mask = (1 << w) - 1
+    cands = None
+    for b in range(n_bands):
+        band = F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))
+        s = sig.select("id", band.alias("bv"))
+        pair = (
+            s.select(F.col("id").alias("id_a"), "bv")
+            .join(s.select(F.col("id").alias("id_b"), "bv"), "bv")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 32) -> DataFrame:
     """SimHash over term-ID hashes: bit_i = sign of Σ_t tf(t)·(±1)_i(t).

@@ -1,0 +1,166 @@
+"""HTTP serving surface: upload source (S9) + search + static sink (S10).
+
+The reference exposes the engine over FastAPI
+(`/root/reference/visionsearch/common_utils/aisearch/main.py:40-65`):
+an image-upload endpoint that lands assets for later indexing, a query
+endpoint answering from the load-once in-memory index, and static file
+serving for stored media. The Spark-first translation (stdlib-only — no
+web framework is bundled in this sandbox):
+
+* ``POST /upload``  — JSON rows -> one parquet file per request in a
+  SPOOL DIRECTORY. The spool is a Structured Streaming file source:
+  `streaming.incremental.stream_transcripts_to_index(spool_dir, ...)`
+  picks new files up and appends them to the index (the reference's
+  upload-then-index pipeline, decoupled exactly the same way).
+* ``GET /search?q=...&k=...`` — top-k from a LocalSearcher (load-once
+  in-memory segments, the reference's serving architecture); OOV returns
+  an empty hit list, never padded results.
+* ``GET /files/<name>`` — static serving from a configured directory
+  (media/thumbnails in the reference); path-traversal guarded.
+* ``GET /healthz`` — index stats (n_docs, avgdl).
+
+One process serves one docid-shard group at scale (LocalSearcher shards=
+docstring); this module is the per-shard worker behind a scatter-gather
+router.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+UPLOAD_SCHEMA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def spool_upload(rows: list[dict], spool_dir: str, seq: int) -> str:
+    """Write one upload batch as an atomically-published parquet file the
+    streaming file source will discover (tmp -> rename; Spark ignores
+    dot/underscore-prefixed in-flight files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(spool_dir, exist_ok=True)
+    cols: dict[str, list] = {c: [] for c in UPLOAD_SCHEMA_COLS}
+    for r in rows:
+        cols["conv_id"].append(str(r["conv_id"]))
+        cols["turn_idx"].append(int(r["turn_idx"]))
+        cols["role"].append(str(r.get("role", "user")))
+        cols["text"].append(str(r.get("text", "")))
+        cols["tool"].append(str(r.get("tool", "")))
+        cols["ts"].append(None)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        }
+    )
+    name = f"upload-{os.getpid()}-{seq:08d}.parquet"
+    path = os.path.join(spool_dir, name)
+    pq.write_table(tbl, path + ".tmp", compression="zstd")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+class ServingApp:
+    """Wires a LocalSearcher + spool dir + optional static dir into a
+    ThreadingHTTPServer. Pass port=0 for an ephemeral port (tests)."""
+
+    def __init__(self, searcher, spool_dir: str, static_dir: str | None = None):
+        self.searcher = searcher
+        self.spool_dir = spool_dir
+        self.static_dir = os.path.realpath(static_dir) if static_dir else None
+        self._seq = 0
+        self._seq_lock = threading.Lock()
+
+    def next_seq(self) -> int:
+        with self._seq_lock:
+            self._seq += 1
+            return self._seq
+
+    def make_server(self, host: str = "127.0.0.1", port: int = 0
+                    ) -> ThreadingHTTPServer:
+        app = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urllib.parse.urlparse(self.path)
+                if u.path == "/healthz":
+                    self._json(200, {
+                        "n_docs": app.searcher.n_docs,
+                        "avgdl": app.searcher.avgdl,
+                    })
+                    return
+                if u.path == "/search":
+                    qs = urllib.parse.parse_qs(u.query)
+                    q = (qs.get("q") or [""])[0]
+                    k = int((qs.get("k") or ["5"])[0])
+                    t0 = time.perf_counter()
+                    hits = app.searcher.search(q, k=k)
+                    self._json(200, {
+                        "query": q,
+                        "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                        "hits": [
+                            {"docid": d, "conv_id": c, "turn_idx": t,
+                             "score": s}
+                            for d, c, t, s in hits
+                        ],
+                    })
+                    return
+                if u.path.startswith("/files/") and app.static_dir:
+                    rel = urllib.parse.unquote(u.path[len("/files/"):])
+                    full = os.path.realpath(os.path.join(app.static_dir, rel))
+                    # traversal guard: resolved path must stay inside root
+                    if not full.startswith(app.static_dir + os.sep):
+                        self._json(403, {"error": "forbidden"})
+                        return
+                    if not os.path.isfile(full):
+                        self._json(404, {"error": "not found"})
+                        return
+                    with open(full, "rb") as f:
+                        body = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                u = urllib.parse.urlparse(self.path)
+                if u.path != "/upload":
+                    self._json(404, {"error": "not found"})
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                try:
+                    rows = json.loads(self.rfile.read(n) or b"[]")
+                    if not isinstance(rows, list) or not rows:
+                        raise ValueError("expected a non-empty JSON array")
+                    path = spool_upload(rows, app.spool_dir, app.next_seq())
+                except (ValueError, KeyError, TypeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "spooled": os.path.basename(path), "rows": len(rows),
+                })
+
+        return ThreadingHTTPServer((host, port), Handler)

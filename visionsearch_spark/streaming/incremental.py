@@ -106,9 +106,8 @@ def incremental_build(transcripts: DataFrame, root: str,
         )
         toks = (
             with_ids.withColumn("docid", F.col("docid") + F.lit(base))
-            .select("docid", "conv_id", "turn_idx",
-                    tokens_col("text").alias("tokens"))
-            .withColumn("dl", F.size("tokens"))
+            .select("docid", "conv_id", "turn_idx", "text")
+            .withColumn("dl", F.size(tokens_col("text")))
         )
         rows_per_pid = max(1, -(-n_new // n_partitions))
         staged = toks.withColumn(
@@ -147,7 +146,7 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         store.root, avgdl, int(meta["shard_range"]), frozenset()
     )
     (
-        pending.select("pid", "docid", "dl", "tokens")
+        pending.select("pid", "docid", "dl", "text")
         .repartition(n_partitions, "pid")
         .sortWithinPartitions("pid", "docid")
         .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
