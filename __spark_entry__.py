@@ -272,6 +272,15 @@ def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.read.parquet(_p(sf_dir, "documents")))
 
 
+def _training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline op: dedup ∧ lang ∧ quality ∧ token band."""
+    from visionsearch_spark.operators.textstats import training_set_filter
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return training_set_filter(docs, min_quality=0.6, langs=("en",),
+                               min_tokens=5, max_tokens=1000)
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.textstats import doc_fingerprint
 
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
             "quality_score": _quality_score,
+            "training_set_filter": _training_set_filter,
             "doc_fingerprint": _doc_fingerprint,
             "prefix_filter_source": _prefix_filter_source,
             "json_extract_props": _json_extract_props,
@@ -871,6 +881,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     sql["lang_id"] = _lang_id_oracle()
     sql["quality_score"] = _quality_oracle()
     sql["doc_fingerprint"] = _fingerprint_oracle()
+    sql["training_set_filter"] = f"""
+WITH lang AS ({_lang_id_oracle()}), qual AS ({_quality_oracle()}),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT q.doc_id, l.pred_lang, q.n_tokens, round(q.quality, 6) AS quality
+FROM qual q JOIN lang l USING(doc_id) JOIN keep USING(doc_id)
+WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
+  AND q.n_tokens BETWEEN 5 AND 1000
+"""
     sql["prefix_filter_source"] = """
         SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'
     """

@@ -70,3 +70,20 @@ def test_doc_fingerprint_matches_python(docs_df):
             assert i not in got  # no tokens -> no fingerprint row
             continue
         assert got[i] == _py_fingerprint(texts, text), f"doc {i}"
+
+
+def test_training_set_filter_composite(spark):
+    """Each leg of the composite does real work: exact dup dropped
+    (keep-first), wrong-language dropped, short doc dropped."""
+    from visionsearch_spark.operators.textstats import training_set_filter
+
+    rows = [
+        (0, "the quick brown fox and the lazy dog run to the river bank."),
+        (1, "the quick brown fox and the lazy dog run to the river bank."),  # dup of 0
+        (2, "der hund und die katze sind nicht mit der maus ein freund."),   # de
+        (3, "too short."),                                                    # <5 tokens
+        (4, "it is a long established fact that the reader will be fine."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in training_set_filter(df).collect()}
+    assert got == {0, 4}

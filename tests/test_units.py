@@ -132,3 +132,30 @@ def test_filter_and_collapse_compose(spark, unit_store):
             best[c] = s
     exp = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
     assert [r["conv_id"] for r in got] == [c for c, _s in exp]
+
+
+def test_local_searcher_unit_collapse_matches_spark(spark, unit_store):
+    """Serving-path doc collapse (LocalSearcher.search_docs) is
+    rank-identical with the distributed unit_batch_topk path."""
+    import math
+
+    from visionsearch_spark.query.serving import LocalSearcher
+    from pyspark.sql import functions as F
+    import os
+
+    store, _rows = unit_store
+    # materialize doc_bounds like get_documents_unit_index does
+    bounds_path = os.path.join(store.root, "doc_bounds")
+    if not os.path.isdir(bounds_path):
+        (spark.read.parquet(store.docmap_path)
+         .groupBy("conv_id").agg(F.min("docid").alias("docid"))
+         .select("docid").write.mode("overwrite").parquet(bounds_path))
+    ls = LocalSearcher(store)
+    for query, k in [("join filter", 10), ("vector scan merge", 6),
+                     ("zzznotaword", 4)]:
+        spark_res = unit_batch_topk(spark, store, [(0, query, k)]) \
+            .orderBy("rank").collect()
+        served = ls.search_docs(query, k=k)
+        assert [(r["conv_id"]) for r in spark_res] == [c for _d, c, _s in served]
+        for r, (_d, _c, s) in zip(spark_res, served):
+            assert math.isclose(r["score"], s, rel_tol=1e-9)

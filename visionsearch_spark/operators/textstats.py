@@ -88,6 +88,38 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def training_set_filter(docs: DataFrame, min_quality: float = 0.6,
+                        langs: tuple[str, ...] = ("en",),
+                        min_tokens: int = 5, max_tokens: int = 1000,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """End-to-end training-set selection: keep-first exact dedup ∧
+    language allowlist ∧ quality floor ∧ token-count band — the composite
+    every LLM-data pipeline runs before tokenization. One plan: three
+    column-arithmetic passes joined on the id, dedup's groupBy being the
+    only extra shuffle; at 100 TB everything is partial-aggregated and
+    AQE-broadcast where small. Returns (doc_id, pred_lang, n_tokens,
+    quality) for the surviving docs."""
+    from visionsearch_spark.operators.dedup import exact_dedup
+
+    q = quality_score(docs, text_col, id_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    lang = lang_id(docs, text_col, id_col)
+    keep = exact_dedup(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return (
+        q.join(lang, id_col).join(keep, id_col)
+        .filter(
+            F.col("pred_lang").isin(list(langs))
+            & (F.col("quality") >= min_quality)
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .select(id_col, "pred_lang", "n_tokens", "quality")
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint:

@@ -73,19 +73,56 @@ class LocalSearcher:
         self._conv = np.asarray(dm.column("conv_id").to_pylist(), dtype=object)[order]
         self._turn = np.asarray(dm.column("turn_idx"))[order]
 
+        # unit stores carry a doc_bounds parquet (first unit docid per
+        # parent doc); load it when present for search_docs collapse
+        import os
+
+        bpath = os.path.join(store.root, "doc_bounds")
+        self._bounds: np.ndarray | None = None
+        if os.path.isdir(bpath):
+            b = pads.dataset(bpath).to_table(columns=["docid"])
+            self._bounds = np.sort(np.asarray(b.column("docid")))
+
     def df(self, term: str) -> int:
         p = self._postings.get(term)
         return 0 if p is None else int(p[0].size)
 
-    def search(self, query: str, k: int = 5, threshold: float = 0.0
-               ) -> list[tuple[int, str, int, float]]:
-        """[(docid, conv_id, turn_idx, score)] — rank-identical with the
-        oracle: canonical (docid, term-rank) accumulation order, (score
-        desc, docid asc) tie-break, OOV -> [] (never padded hits)."""
+    def search_docs(self, query: str, k: int = 5, threshold: float = 0.0
+                    ) -> list[tuple[int, str, float]]:
+        """Doc-level top-k over a UNIT store: per-unit scores collapse to
+        per-document max (units.py semantics, served in-memory).
+        Returns [(first_unit_docid, conv_id, score)]."""
+        if self._bounds is None:
+            raise ValueError("store has no doc_bounds — not a unit store")
+        units = self._scored(query, threshold)
+        if units is None or units[0].size == 0:
+            return []
+        uniq, sums = units
+        parent = self._bounds[
+            np.searchsorted(self._bounds, uniq, side="right") - 1
+        ]
+        st = np.concatenate(
+            ([0], np.flatnonzero(parent[1:] != parent[:-1]) + 1)
+        )
+        uniq = parent[st]
+        sums = np.maximum.reduceat(sums, st)
+        if uniq.size > k:
+            sel = np.lexsort((uniq, -sums))[:k]
+            uniq, sums = uniq[sel], sums[sel]
+        final = np.lexsort((uniq, -sums))
+        return [
+            (int(uniq[i]), str(self._conv[uniq[i]]), float(sums[i]))
+            for i in final
+        ]
+
+    def _scored(self, query: str, threshold: float
+                ) -> tuple[np.ndarray, np.ndarray] | None:
+        """All (docid, score) above threshold — canonical (docid,
+        term-rank) accumulation order; None when every term is OOV."""
         qterms = sorted(set(tokenize(query)))
         present = [t for t in qterms if t in self._postings]
         if not present:
-            return []
+            return None
         cat_d, cat_c, cat_r = [], [], []
         for r, t in enumerate(present):
             d, tfw = self._postings[t]
@@ -102,7 +139,17 @@ class LocalSearcher:
         uniq = d[starts]
         sums = np.add.reduceat(c, starts)
         keep = sums > threshold
-        uniq, sums = uniq[keep], sums[keep]
+        return uniq[keep], sums[keep]
+
+    def search(self, query: str, k: int = 5, threshold: float = 0.0
+               ) -> list[tuple[int, str, int, float]]:
+        """[(docid, conv_id, turn_idx, score)] — rank-identical with the
+        oracle: canonical (docid, term-rank) accumulation order, (score
+        desc, docid asc) tie-break, OOV -> [] (never padded hits)."""
+        scored = self._scored(query, threshold)
+        if scored is None:
+            return []
+        uniq, sums = scored
         if uniq.size > k:
             sel = np.lexsort((uniq, -sums))[:k]
             uniq, sums = uniq[sel], sums[sel]
