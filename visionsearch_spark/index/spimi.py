@@ -336,7 +336,9 @@ def build_index(
     )
     mark("term_stats")
     shard_range = int(meta["shard_range"])
-    compacted = _compact_segments(frags, shard_range, float(meta["avgdl"]))
+    # fragments in a fresh/resumed build were all encoded with THIS avgdl
+    compacted = _compact_segments(frags, shard_range, float(meta["avgdl"]),
+                                  trust_block_max=True)
     (
         compacted.repartition(int(meta["n_partitions"]), "shard")
         .sortWithinPartitions("shard", "term", "min_docid")
@@ -353,7 +355,8 @@ def build_index(
 
 
 def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
-                      n_tasks: int | None = None) -> DataFrame:
+                      n_tasks: int | None = None,
+                      trust_block_max: bool = False) -> DataFrame:
     """Re-chunk per (term, shard): fragment blocks of one term never overlap
     in docid and never cross shard boundaries, so compaction is
     concat-in-min_docid-order + re-chunk to BLOCK_SIZE (a metadata-level
@@ -362,7 +365,16 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
     Implemented as mapInArrow over hash(term, shard)-partitioned,
     key-sorted rows: groups are contiguous runs, so there is no per-group
     scheduling/pandas overhead (applyInPandas costs ~3 ms per group — ruinous
-    for vocab × shards tiny groups)."""
+    for vocab × shards tiny groups). Run boundaries are detected with one
+    vectorized pass (no per-row Python).
+
+    trust_block_max: when the fragments were encoded with the SAME avgdl
+    this compaction uses (any fresh/resumed build_index — the appends path
+    must pass False because avgdl shifts), single-block runs need neither
+    a re-chunk nor a block_max refresh, so the long Zipf tail of rare
+    terms passes through with zero decode/encode work; only multi-block
+    runs (terms present in several build partitions) hit the merge path.
+    """
     from visionsearch_spark.index.codec import (
         decode_docids,
         decode_varint,
@@ -378,22 +390,46 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
         ("shard", pa.int64()),
     ]
     out_pa_schema = pa.schema(out_fields)
+    in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
+               "tfs_bin", "dls_bin", "block_max", "shard"]
 
     def compact_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        cur_key: tuple | None = None
-        run: list[tuple] = []  # (min_docid, n, docids_bin, tfs_bin, dls_bin)
-        rows: list[tuple] = []
+        pdfs = [b.to_pandas() for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)[in_cols]
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy()
+        newrun = np.ones(len(pdf), dtype=bool)
+        if len(pdf) > 1:
+            newrun[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        starts = np.flatnonzero(newrun)
+        ends = np.concatenate((starts[1:], [len(pdf)]))
+        singleton = (ends - starts) == 1
+        if trust_block_max:
+            passthrough = pdf.iloc[starts[singleton]]
+            work = zip(starts[~singleton], ends[~singleton])
+        else:
+            passthrough = pdf.iloc[[]]
+            work = zip(starts, ends)
 
-        def flush():
-            term, shard = cur_key
-            run.sort(key=lambda r: r[0])
-            docids = np.concatenate([decode_docids(b, n) for _m, n, b, _t, _l in run])
+        mins = pdf["min_docid"].to_numpy()
+        ns = pdf["n"].to_numpy()
+        dbins = pdf["docids_bin"].to_numpy()
+        tbins = pdf["tfs_bin"].to_numpy()
+        lbins = pdf["dls_bin"].to_numpy()
+        rows: list[tuple] = []
+        for s, e in work:
+            idx = list(range(s, e))
+            idx.sort(key=lambda i: mins[i])
+            docids = np.concatenate([decode_docids(dbins[i], ns[i]) for i in idx])
             tfs = np.concatenate(
-                [decode_varint(t, n) for _m, n, _b, t, _l in run]
+                [decode_varint(tbins[i], ns[i]) for i in idx]
             ).astype(np.int64)
             dls = np.concatenate(
-                [decode_varint(l, n) for _m, n, _b, _t, l in run]
+                [decode_varint(lbins[i], ns[i]) for i in idx]
             ).astype(np.int64)
+            term, shard = terms[s], int(shards[s])
             for b0 in range(0, docids.size, BLOCK_SIZE):
                 b1 = min(b0 + BLOCK_SIZE, docids.size)
                 tfw = _tf_weight_np(tfs[b0:b1], dls[b0:b1], avgdl)
@@ -404,27 +440,22 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
                         encode_docids(docids[b0:b1]),
                         encode_varint(tfs[b0:b1].astype(np.uint64)),
                         encode_varint(dls[b0:b1].astype(np.uint64)),
-                        float(tfw.max()), int(shard),
+                        float(tfw.max()), shard,
                     )
                 )
-
-        for batch in batches:
-            pdf = batch.to_pandas()
-            for r in pdf.itertuples(index=False):
-                key = (r.term, r.shard)
-                if cur_key is not None and key != cur_key:
-                    flush()
-                    run.clear()
-                cur_key = key
-                run.append((r.min_docid, r.n, r.docids_bin, r.tfs_bin, r.dls_bin))
-        if cur_key is not None:
-            flush()
+        tables = []
+        if len(passthrough):
+            tables.append(pa.Table.from_pandas(
+                passthrough.reset_index(drop=True), schema=out_pa_schema,
+                preserve_index=False,
+            ))
         if rows:
-            tbl = pa.Table.from_arrays(
+            tables.append(pa.Table.from_arrays(
                 [pa.array([r[i] for r in rows], type=f[1])
                  for i, f in enumerate(out_fields)],
                 schema=out_pa_schema,
-            )
+            ))
+        for tbl in tables:
             yield from tbl.to_batches(max_chunksize=65536)
 
     n_tasks = n_tasks or frags.sparkSession.sparkContext.defaultParallelism

@@ -43,28 +43,26 @@ class LocalSearcher:
             columns=["term", "n", "docids_bin", "tfs_bin", "dls_bin"],
             filter=flt,
         )
-        # term -> (docids, tf_weight) fully decoded once at load; postings
-        # of one term across blocks are disjoint + sorted by construction
-        self._postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        terms = seg.column("term").to_pylist()
-        ns = seg.column("n").to_pylist()
-        dbins = seg.column("docids_bin").to_pylist()
-        tbins = seg.column("tfs_bin").to_pylist()
-        lbins = seg.column("dls_bin").to_pylist()
-        by_term: dict[str, list[int]] = {}
-        for i, t in enumerate(terms):
-            by_term.setdefault(t, []).append(i)
-        for t, idxs in by_term.items():
-            d = np.concatenate([decode_docids(dbins[i], ns[i]) for i in idxs])
-            tf = np.concatenate(
-                [decode_varint(tbins[i], ns[i]) for i in idxs]
-            ).astype(np.float64)
-            dl = np.concatenate(
-                [decode_varint(lbins[i], ns[i]) for i in idxs]
-            ).astype(np.float64)
-            order = np.argsort(d, kind="stable")
-            tfw = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-            self._postings[t] = (d[order], tfw[order])
+        # load builds only the term -> block-index map (one vectorized
+        # groupby over the term column); posting bytes decode LAZILY on a
+        # term's first query and are cached decoded — cold start is
+        # column-scan cheap, the warm working set is as fast as eager
+        self._ns = seg.column("n").to_pylist()
+        self._dbins = seg.column("docids_bin").to_pylist()
+        self._tbins = seg.column("tfs_bin").to_pylist()
+        self._lbins = seg.column("dls_bin").to_pylist()
+        terms = np.asarray(seg.column("term").to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        sorted_terms = terms[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(sorted_terms[1:] != sorted_terms[:-1]) + 1)
+        ) if terms.size else np.array([], dtype=np.int64)
+        ends = np.concatenate((starts[1:], [terms.size])) if terms.size else starts
+        self._blocks: dict[str, list[int]] = {
+            str(sorted_terms[s]): [int(i) for i in order[s:e]]
+            for s, e in zip(starts, ends)
+        }
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         # docmap: docid is dense 0..n-1, so position == docid
         dm = pads.dataset(store.docmap_path).to_table(
             columns=["docid", "conv_id", "turn_idx"]
@@ -83,9 +81,32 @@ class LocalSearcher:
             b = pads.dataset(bpath).to_table(columns=["docid"])
             self._bounds = np.sort(np.asarray(b.column("docid")))
 
+    def _get_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(docids, tf_weight) for a term — decoded on first use, cached."""
+        p = self._decoded.get(term)
+        if p is not None:
+            return p
+        idxs = self._blocks.get(term)
+        if idxs is None:
+            return None
+        d = np.concatenate(
+            [decode_docids(self._dbins[i], self._ns[i]) for i in idxs]
+        )
+        tf = np.concatenate(
+            [decode_varint(self._tbins[i], self._ns[i]) for i in idxs]
+        ).astype(np.float64)
+        dl = np.concatenate(
+            [decode_varint(self._lbins[i], self._ns[i]) for i in idxs]
+        ).astype(np.float64)
+        order = np.argsort(d, kind="stable")
+        tfw = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+        p = (d[order], tfw[order])
+        self._decoded[term] = p
+        return p
+
     def df(self, term: str) -> int:
-        p = self._postings.get(term)
-        return 0 if p is None else int(p[0].size)
+        idxs = self._blocks.get(term)
+        return 0 if idxs is None else int(sum(self._ns[i] for i in idxs))
 
     def search_docs(self, query: str, k: int = 5, threshold: float = 0.0
                     ) -> list[tuple[int, str, float]]:
@@ -106,13 +127,10 @@ class LocalSearcher:
         )
         uniq = parent[st]
         sums = np.maximum.reduceat(sums, st)
-        if uniq.size > k:
-            sel = np.lexsort((uniq, -sums))[:k]
-            uniq, sums = uniq[sel], sums[sel]
-        final = np.lexsort((uniq, -sums))
+        uniq, sums = self._select_topk(uniq, sums, k)
         return [
-            (int(uniq[i]), str(self._conv[uniq[i]]), float(sums[i]))
-            for i in final
+            (int(d), str(self._conv[d]), float(s))
+            for d, s in zip(uniq, sums)
         ]
 
     def _scored(self, query: str, threshold: float
@@ -120,26 +138,41 @@ class LocalSearcher:
         """All (docid, score) above threshold — canonical (docid,
         term-rank) accumulation order; None when every term is OOV."""
         qterms = sorted(set(tokenize(query)))
-        present = [t for t in qterms if t in self._postings]
+        present = [t for t in qterms if t in self._blocks]
         if not present:
             return None
-        cat_d, cat_c, cat_r = [], [], []
-        for r, t in enumerate(present):
-            d, tfw = self._postings[t]
+        cat_d, cat_c = [], []
+        for t in present:  # sorted unique terms = canonical rank order
+            d, tfw = self._get_postings(t)
             w = idf_fn(self.n_docs, d.size)
             cat_d.append(d)
             cat_c.append(w * tfw)
-            cat_r.append(np.full(d.size, r, dtype=np.int64))
         d = np.concatenate(cat_d)
         c = np.concatenate(cat_c)
-        r = np.concatenate(cat_r)
-        order = np.lexsort((r, d))
-        d, c = d[order], c[order]
-        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
-        uniq = d[starts]
-        sums = np.add.reduceat(c, starts)
-        keep = sums > threshold
-        return uniq[keep], sums[keep]
+        # dense scatter-add: bincount sums sequentially in input order, and
+        # terms are concatenated in rank order, so per-doc accumulation
+        # order is (docid, term-rank) — bit-identical to the oracle's
+        # lexsort+reduceat, at O(N + postings) instead of O(P log P).
+        # N is bounded per searcher (one docid-shard group per process).
+        scores = np.bincount(d, weights=c, minlength=self.n_docs)
+        uniq = np.flatnonzero(scores > threshold)
+        return uniq, scores[uniq]
+
+    @staticmethod
+    def _select_topk(uniq: np.ndarray, sums: np.ndarray, k: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """k best by (score desc, docid asc), returned in that order.
+        argpartition narrows to the >=kth-score candidates (O(M)), the
+        deterministic tie-break lexsort then runs only on that set —
+        never on every matching doc."""
+        if uniq.size > k:
+            kth = -np.partition(-sums, k - 1)[k - 1]
+            cand = np.flatnonzero(sums >= kth)  # includes boundary ties
+            order = np.lexsort((uniq[cand], -sums[cand]))[:k]
+            sel = cand[order]
+        else:
+            sel = np.lexsort((uniq, -sums))
+        return uniq[sel], sums[sel]
 
     def search(self, query: str, k: int = 5, threshold: float = 0.0
                ) -> list[tuple[int, str, int, float]]:
@@ -149,13 +182,8 @@ class LocalSearcher:
         scored = self._scored(query, threshold)
         if scored is None:
             return []
-        uniq, sums = scored
-        if uniq.size > k:
-            sel = np.lexsort((uniq, -sums))[:k]
-            uniq, sums = uniq[sel], sums[sel]
-        final = np.lexsort((uniq, -sums))
+        uniq, sums = self._select_topk(*scored, k)
         return [
-            (int(uniq[i]), str(self._conv[uniq[i]]), int(self._turn[uniq[i]]),
-             float(sums[i]))
-            for i in final
+            (int(d), str(self._conv[d]), int(self._turn[d]), float(s))
+            for d, s in zip(uniq, sums)
         ]

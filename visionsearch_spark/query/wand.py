@@ -293,18 +293,26 @@ def _lookup_term_dfs(spark: SparkSession, store: IndexStore,
                      terms: list[str]) -> dict[str, int]:
     import os
 
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
     # meta.json mtime in the key: an incremental append rewrites meta, so
     # stale df values age out automatically even across serving processes
     key = f"{store.root}:{os.path.getmtime(store.meta_path)}"
     memo = _TERM_DF_MEMO.setdefault(key, {})
     missing = [t for t in terms if t not in memo]
     if missing:
-        rows = (
-            spark.read.parquet(store.term_stats_path)
-            .filter(F.col("term").isin(missing))
-            .collect()
+        # driver-side pyarrow scan, NOT a Spark job: a per-query handful
+        # of point lookups against a sorted parquet table (row-group
+        # stats prune) doesn't justify ~0.3 s of job scheduling. The
+        # store lives on shared storage in a cluster, so the driver can
+        # read it the same way the LocalSearcher does.
+        tbl = pads.dataset(store.term_stats_path).to_table(
+            columns=["term", "df"],
+            filter=pc.field("term").isin(missing),
         )
-        found = {r["term"]: int(r["df"]) for r in rows}
+        found = dict(zip(tbl.column("term").to_pylist(),
+                         (int(x) for x in tbl.column("df").to_pylist())))
         for t in missing:
             memo[t] = found.get(t, 0)  # memoize absent terms as df=0
     return {t: memo[t] for t in terms if memo[t] > 0}
@@ -458,9 +466,21 @@ def batch_topk(
         if not merged:
             return spark.createDataFrame([], RESULT_DDL)
         hit_ids = sorted({d for _q, _r, d, _s in merged})
+        # driver-side pyarrow point lookup (docid-sorted staged files →
+        # row-group prune touches O(k) groups); avoids a second Spark job
+        # on the interactive path
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        dm = pads.dataset(store.docmap_path).to_table(
+            columns=["docid", "conv_id", "turn_idx"],
+            filter=pc.field("docid").isin(hit_ids),
+        )
         keymap = {
-            r["docid"]: (r["conv_id"], r["turn_idx"])
-            for r in docmap.filter(F.col("docid").isin(hit_ids)).collect()
+            int(d): (c, int(t))
+            for d, c, t in zip(dm.column("docid").to_pylist(),
+                               dm.column("conv_id").to_pylist(),
+                               dm.column("turn_idx").to_pylist())
         }
         out = [
             (qid, rank, d, keymap[d][0], keymap[d][1], s)
