@@ -272,6 +272,19 @@ def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.read.parquet(_p(sf_dir, "documents")))
 
 
+def _token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import token_length_stats
+
+    return token_length_stats(spark.read.parquet(_p(sf_dir, "documents")))
+
+
+def _deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import deterministic_sample
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return deterministic_sample(docs, rate=0.1).select("doc_id", "source")
+
+
 def _training_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pipeline op: dedup ∧ lang ∧ quality ∧ token band."""
     from visionsearch_spark.operators.textstats import training_set_filter
@@ -428,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
             "quality_score": _quality_score,
+            "token_length_stats": _token_length_stats,
+            "deterministic_sample": _deterministic_sample,
             "training_set_filter": _training_set_filter,
             "doc_fingerprint": _doc_fingerprint,
             "prefix_filter_source": _prefix_filter_source,
@@ -881,6 +896,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     sql["lang_id"] = _lang_id_oracle()
     sql["quality_score"] = _quality_oracle()
     sql["doc_fingerprint"] = _fingerprint_oracle()
+    sql["token_length_stats"] = f"""
+WITH d AS (SELECT len({toks}) AS n_tokens FROM documents)
+SELECT count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 6) AS p99
+FROM d
+"""
+    from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
+    sql["deterministic_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE ({FP_MULT}::BIGINT * doc_id + 12345) % {FP_PRIME} < {int(FP_PRIME * 0.1)}
+"""
     sql["training_set_filter"] = f"""
 WITH lang AS ({_lang_id_oracle()}), qual AS ({_quality_oracle()}),
 keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)

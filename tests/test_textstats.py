@@ -87,3 +87,33 @@ def test_training_set_filter_composite(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"] for r in training_set_filter(df).collect()}
     assert got == {0, 4}
+
+
+def test_deterministic_sample_invariant_to_partitioning(spark):
+    from visionsearch_spark.operators.textstats import deterministic_sample
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(1000)],
+                               "doc_id long, text string")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(df.repartition(13), 0.2).collect()}
+    assert a == b                       # partitioning-independent
+    assert 100 < len(a) < 300           # ~rate, not vacuous
+    # exact python replica: same modular arithmetic, same rows
+    from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
+    exp = {i for i in range(1000)
+           if (FP_MULT * i + 12345) % FP_PRIME < int(FP_PRIME * 0.2)}
+    assert a == exp
+
+
+def test_token_length_stats_values(spark):
+    from visionsearch_spark.operators.textstats import token_length_stats
+
+    rows = [(0, "a b c"), (1, "a b c d e"), (2, "a"), (3, "a b c d e f g h")]
+    got = token_length_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()[0]
+    assert got["n_docs"] == 4 and got["min_tokens"] == 1 \
+        and got["max_tokens"] == 8
+    assert got["p50"] == 4.0            # interp between 3 and 5
+    assert abs(got["avg_tokens"] - 17 / 4) < 1e-9

@@ -88,6 +88,41 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def token_length_stats(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus token-length distribution (the sizing numbers a pipeline
+    reads before choosing context windows / packing): count, mean,
+    min/max, exact linear-interpolated p50/p90/p99. One scan, one
+    partial-aggregated reduce; `percentile` is exact (matches DuckDB's
+    quantile_cont interpolation) — percentile_approx would not oracle."""
+    d = docs.select(F.size(tokens_col(text_col)).alias("n_tokens"))
+    pct = F.expr("percentile(n_tokens, array(0.5, 0.9, 0.99))")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+def deterministic_sample(docs: DataFrame, rate: float = 0.1,
+                         id_col: str = "doc_id",
+                         mult: int = FP_MULT, offset: int = 12345,
+                         prime: int = FP_PRIME) -> DataFrame:
+    """Reproducible sampling: keep a row iff
+        (mult·id + offset) mod prime  <  prime·rate.
+    Pure modular arithmetic — the sampling decision is portable across
+    Spark / SQL / Python bit-for-bit, unlike seeded RNG sampling whose
+    stream is implementation-defined (and in Spark partitioning-
+    dependent). The filter is a codegen'd column predicate: prunes at the
+    scan, no shuffle, and the SAME rows are selected at every scale-out."""
+    h = (F.lit(mult) * F.col(id_col) + F.lit(offset)) % F.lit(prime)
+    return docs.filter(h < F.lit(int(prime * rate)))
+
+
 def training_set_filter(docs: DataFrame, min_quality: float = 0.6,
                         langs: tuple[str, ...] = ("en",),
                         min_tokens: int = 5, max_tokens: int = 1000,
