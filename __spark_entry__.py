@@ -149,8 +149,11 @@ def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _term_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = get_documents_index(spark, sf_dir)
-    ts = spark.read.parquet(store.term_stats_path)
-    return ts.orderBy(F.desc("df"), F.asc("term")).limit(50)
+    ts = spark.read.parquet(*store.term_stats_paths())
+    return (
+        ts.groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(50)
+    )
 
 
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -198,7 +198,7 @@ def test_concurrent_reader_never_sees_torn_snapshot(
         spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
         root, n_partitions=4,
     )
-    old_segs = spark.read.parquet(store.segments_path).count()
+    old_segs = spark.read.parquet(*store.segment_paths()).count()
     observed, errors = [], []
     stop = threading.Event()
 
@@ -206,7 +206,7 @@ def test_concurrent_reader_never_sees_torn_snapshot(
         while not stop.is_set():
             try:
                 n_docs = store.read_meta()["n_docs"]
-                n_segs = spark.read.parquet(store.segments_path).count()
+                n_segs = spark.read.parquet(*store.segment_paths()).count()
                 observed.append((n_docs, n_segs))
             except Exception as e:  # noqa: BLE001
                 errors.append(repr(e))
@@ -223,7 +223,7 @@ def test_concurrent_reader_never_sees_torn_snapshot(
         stop.set()
         t.join(60)
     assert not errors, errors
-    new_segs = spark.read.parquet(store.segments_path).count()
+    new_segs = spark.read.parquet(*store.segment_paths()).count()
     n0, n1 = len(first_pdf), len(full_pdf)
     for n_docs, n_segs in observed:
         assert n_docs in (n0, n1), f"torn meta: {n_docs}"
@@ -232,8 +232,16 @@ def test_concurrent_reader_never_sees_torn_snapshot(
         )
 
 
-def test_epoch_gc_keeps_current_and_previous(spark, halves, tmp_path_factory):
+def test_append_dirs_additive_then_compaction_gcs(spark, halves,
+                                                  tmp_path_factory):
+    """LSM contract: appends ADD one O(delta) dir each (old dirs
+    immutable), compact_store merges to one dir and retires the old set
+    for exactly one more flip."""
+    import math
     import os
+
+    from visionsearch_spark.index.spimi import compact_store
+    from visionsearch_spark.oracle import build_oracle_index, oracle_search
 
     first_pdf, full_pdf = halves
     convs = sorted(full_pdf["conv_id"].unique())
@@ -245,7 +253,47 @@ def test_epoch_gc_keeps_current_and_previous(spark, halves, tmp_path_factory):
             spark.createDataFrame(part, schema=TRANSCRIPTS_SCHEMA),
             root, n_partitions=4,
         )
-    ep = store.read_meta()["epoch"]
-    assert ep == 3  # initial build + two appends
-    seg_dirs = sorted(d for d in os.listdir(root) if d.startswith("segments"))
-    assert seg_dirs == [f"segments-{ep-1:06d}", f"segments-{ep:06d}"]
+    meta = store.read_meta()
+    assert meta["epoch"] == 3  # initial build + two appends
+    assert meta["segment_dirs"] == [
+        "segments-000001", "segments-000002", "segments-000003"]
+
+    def check_queries():
+        oracle = build_oracle_index(
+            list(full_pdf[["conv_id", "turn_idx", "text"]]
+                 .itertuples(index=False, name=None)))
+        for q, k in [("xylophone", 5), ("join filter", 10)]:
+            exp = oracle_search(oracle, q, k=k)
+            got = topk(spark, store, q, k=k).collect()
+            assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+                (e[1], e[2]) for e in exp], q
+            for g, e in zip(got, exp):
+                assert math.isclose(g["score"], e[3], rel_tol=1e-9)
+
+    check_queries()  # union-of-dirs read is exact
+
+    store = compact_store(spark, root)
+    meta = store.read_meta()
+    assert meta["segment_dirs"] == ["segments-000004"]
+    assert "segments-000001" in meta["retired_dirs"]  # one-flip grace
+    on_disk = {d for d in os.listdir(root) if d.startswith("segments")}
+    assert on_disk == {f"segments-{i:06d}" for i in (1, 2, 3, 4)}
+    check_queries()  # single compacted dir is exact too
+
+    # next flip (an append) clears the retirement -> old dirs GC'd
+    extra = full_pdf.iloc[:0]
+    import pandas as pd
+    extra = pd.DataFrame([{
+        "conv_id": "zzz-new", "turn_idx": 1, "role": "user",
+        "text": "a brand new appended row", "tool": "",
+        "ts": full_pdf["ts"].iloc[0],
+    }])
+    store = incremental_build(
+        spark.createDataFrame(pd.concat([full_pdf, extra]),
+                              schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4,
+    )
+    meta = store.read_meta()
+    assert meta["segment_dirs"] == ["segments-000004", "segments-000005"]
+    on_disk = {d for d in os.listdir(root) if d.startswith("segments")}
+    assert on_disk == {"segments-000004", "segments-000005"}

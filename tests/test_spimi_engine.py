@@ -10,7 +10,7 @@ import os
 import numpy as np
 import pytest
 
-from visionsearch_spark.index.codec import decode_docids
+from visionsearch_spark.index.codec import decode_docids, decode_varint
 from visionsearch_spark.index.spimi import BLOCK_SIZE, build_index
 from visionsearch_spark.index.store import IndexStore
 from visionsearch_spark.oracle import oracle_search
@@ -58,7 +58,11 @@ def test_segment_structure(spark, built_store):
         assert d[0] == r["min_docid"] and d[-1] == r["max_docid"]
         assert (np.diff(d) > 0).all()  # sorted, no dups
         assert r["min_docid"] // R == r["max_docid"] // R == r["shard"]
-        assert r["block_max"] > 0
+        # (max_tf, min_dl) must bound the block's actual postings exactly
+        tfs = decode_varint(r["tfs_bin"], r["n"])
+        dls = decode_varint(r["dls_bin"], r["n"])
+        assert r["max_tf"] == int(tfs.max()) >= 1
+        assert r["min_dl"] == int(dls.min()) >= 0
 
 
 def test_hot_term_shard_fanout(spark, built_store, oracle_index):

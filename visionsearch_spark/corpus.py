@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from visionsearch_spark.index.spimi import build_index
 from visionsearch_spark.index.store import IndexStore
 
-CACHE_VERSION = "v1"
+CACHE_VERSION = "v2"  # v2: segment schema (max_tf,min_dl) replaced block_max
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

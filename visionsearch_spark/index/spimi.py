@@ -80,7 +80,8 @@ _FRAGMENT_PA_SCHEMA = pa.schema(
         ("docids_bin", pa.binary()),
         ("tfs_bin", pa.binary()),
         ("dls_bin", pa.binary()),
-        ("block_max", pa.float64()),
+        ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
     ]
 )
 
@@ -92,10 +93,12 @@ def _tf_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
-                        dls: np.ndarray, avgdl: float, shard_range: int
-                        ) -> list[tuple]:
+                        dls: np.ndarray, shard_range: int) -> list[tuple]:
     """Cut one term's (sorted-by-docid) postings into blocks of <=BLOCK_SIZE
-    that never cross a docid-shard boundary; encode each block."""
+    that never cross a docid-shard boundary; encode each block. Pruning
+    metadata is (max_tf, min_dl) — avgdl-independent, so blocks stay valid
+    across appends that shift corpus stats (the query side derives the
+    tf-weight upper bound under the CURRENT avgdl)."""
     from visionsearch_spark.index.codec import encode_docids, encode_varint
 
     rows = []
@@ -104,7 +107,6 @@ def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
     cut = np.flatnonzero(shards[1:] != shards[:-1]) + 1
     starts = np.concatenate(([0], cut))
     ends = np.concatenate((cut, [docids.size]))
-    tfw = _tf_weight_np(tfs, dls, avgdl)
     for s, e in zip(starts, ends):
         for b0 in range(s, e, BLOCK_SIZE):
             b1 = min(b0 + BLOCK_SIZE, e)
@@ -118,13 +120,14 @@ def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
                     encode_docids(d),
                     encode_varint(tfs[b0:b1].astype(np.uint64)),
                     encode_varint(dls[b0:b1].astype(np.uint64)),
-                    float(tfw[b0:b1].max()),
+                    int(tfs[b0:b1].max()),
+                    int(dls[b0:b1].min()),
                 )
             )
     return rows
 
 
-def _make_spimi_fn(store_root: str, avgdl: float, shard_range: int,
+def _make_spimi_fn(store_root: str, shard_range: int,
                    fail_pids: frozenset[int]):
     """Returns the mapInArrow function for the SPIMI stage."""
 
@@ -160,7 +163,7 @@ def _make_spimi_fn(store_root: str, avgdl: float, shard_range: int,
             for s, e in zip(starts, ends):
                 rows.extend(_encode_term_blocks(
                     str(terms[s]), docids[s:e], tfs[s:e], dls[s:e],
-                    avgdl, shard_range))
+                    shard_range))
             tbl = pa.Table.from_arrays(
                 [pa.array([r[i] for r in rows], type=f.type)
                  for i, f in enumerate(_FRAGMENT_PA_SCHEMA)],
@@ -307,8 +310,7 @@ def build_index(
     if done:
         pending = staged.filter(~F.col("pid").isin(sorted(done)))
     spimi_fn = _make_spimi_fn(
-        store.root, float(meta["avgdl"]), int(meta["shard_range"]),
-        frozenset(fail_partitions),
+        store.root, int(meta["shard_range"]), frozenset(fail_partitions)
     )
     (
         pending.select("pid", "docid", "dl", "text")
@@ -336,9 +338,7 @@ def build_index(
     )
     mark("term_stats")
     shard_range = int(meta["shard_range"])
-    # fragments in a fresh/resumed build were all encoded with THIS avgdl
-    compacted = _compact_segments(frags, shard_range, float(meta["avgdl"]),
-                                  trust_block_max=True)
+    compacted = _compact_segments(frags, shard_range)
     (
         compacted.repartition(int(meta["n_partitions"]), "shard")
         .sortWithinPartitions("shard", "term", "min_docid")
@@ -346,17 +346,67 @@ def build_index(
         .parquet(store.epoch_path("segments", next_ep))
     )
     mark("compact_write")
-    meta["phase"] = "built"
-    meta["epoch"] = next_ep
+    prev_live = (meta.get("segment_dirs") or []) + (meta.get("term_stats_dirs") or [])
+    meta.update({
+        "phase": "built",
+        "epoch": next_ep,
+        "segment_dirs": [f"segments-{next_ep:06d}"],
+        "term_stats_dirs": [f"term_stats-{next_ep:06d}"],
+        "compacted_pids": sorted(store.done_partitions()),
+        "retired_dirs": prev_live,
+    })
     meta["stage_sec"] = {**meta.get("stage_sec", {}), **stage_sec}
     store.write_meta(meta)
-    store.gc_epochs(next_ep)
+    store.gc_dirs()
     return store
 
 
-def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
-                      n_tasks: int | None = None,
-                      trust_block_max: bool = False) -> DataFrame:
+def compact_store(spark: SparkSession, root: str,
+                  n_partitions: int | None = None) -> IndexStore:
+    """Full compaction (the LSM maintenance job): merge ALL fragments into
+    ONE fresh segments/term_stats dir pair and flip the live-dir lists to
+    it atomically. Appends are O(delta) (incremental.py) and accumulate
+    one small dir each; run this periodically to restore single-dir scan
+    locality. Superseded dirs are retired for one flip (in-flight
+    readers), then GC'd."""
+    store = IndexStore(root)
+    meta = store.read_meta()
+    n_partitions = n_partitions or int(meta["n_partitions"])
+    frags = (
+        spark.read.schema(SEGMENT_SCHEMA_DDL)
+        .option("pathGlobFilter", "fragment-*.parquet")
+        .parquet(store.fragments_dir)
+    )
+    next_ep = int(meta.get("epoch") or 0) + 1
+    frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(store.epoch_path("term_stats", next_ep))
+    compacted = _compact_segments(frags, int(meta["shard_range"]))
+    (
+        compacted.repartition(n_partitions, "shard")
+        .sortWithinPartitions("shard", "term", "min_docid")
+        .write.mode("overwrite")
+        .parquet(store.epoch_path("segments", next_ep))
+    )
+    prev_live = [os.path.basename(p) for p in store.segment_paths()]         + [os.path.basename(p) for p in store.term_stats_paths()]
+    meta.update({
+        "epoch": next_ep,
+        "segment_dirs": [f"segments-{next_ep:06d}"],
+        "term_stats_dirs": [f"term_stats-{next_ep:06d}"],
+        "compacted_pids": sorted(store.done_partitions()),
+        "retired_dirs": prev_live,
+        "phase": "built",
+    })
+    store.write_meta(meta)
+    store.gc_dirs()
+    from visionsearch_spark.query.wand import invalidate_term_df_memo
+
+    invalidate_term_df_memo(store.root)
+    return store
+
+
+def _compact_segments(frags: DataFrame, shard_range: int,
+                      n_tasks: int | None = None) -> DataFrame:
     """Re-chunk per (term, shard): fragment blocks of one term never overlap
     in docid and never cross shard boundaries, so compaction is
     concat-in-min_docid-order + re-chunk to BLOCK_SIZE (a metadata-level
@@ -368,11 +418,9 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
     for vocab × shards tiny groups). Run boundaries are detected with one
     vectorized pass (no per-row Python).
 
-    trust_block_max: when the fragments were encoded with the SAME avgdl
-    this compaction uses (any fresh/resumed build_index — the appends path
-    must pass False because avgdl shifts), single-block runs need neither
-    a re-chunk nor a block_max refresh, so the long Zipf tail of rare
-    terms passes through with zero decode/encode work; only multi-block
+    Block metadata (max_tf, min_dl) is avgdl-independent, so single-block
+    runs — the Zipf tail of rare terms — ALWAYS pass through with zero
+    decode/encode work (fresh builds and appends alike); only multi-block
     runs (terms present in several build partitions) hit the merge path.
     """
     from visionsearch_spark.index.codec import (
@@ -386,12 +434,12 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
         ("term", pa.string()), ("min_docid", pa.int64()),
         ("max_docid", pa.int64()), ("n", pa.int32()),
         ("docids_bin", pa.binary()), ("tfs_bin", pa.binary()),
-        ("dls_bin", pa.binary()), ("block_max", pa.float64()),
-        ("shard", pa.int64()),
+        ("dls_bin", pa.binary()), ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()), ("shard", pa.int64()),
     ]
     out_pa_schema = pa.schema(out_fields)
     in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
-               "tfs_bin", "dls_bin", "block_max", "shard"]
+               "tfs_bin", "dls_bin", "max_tf", "min_dl", "shard"]
 
     def compact_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pdfs = [b.to_pandas() for b in batches]
@@ -406,12 +454,8 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
         starts = np.flatnonzero(newrun)
         ends = np.concatenate((starts[1:], [len(pdf)]))
         singleton = (ends - starts) == 1
-        if trust_block_max:
-            passthrough = pdf.iloc[starts[singleton]]
-            work = zip(starts[~singleton], ends[~singleton])
-        else:
-            passthrough = pdf.iloc[[]]
-            work = zip(starts, ends)
+        passthrough = pdf.iloc[starts[singleton]]
+        work = zip(starts[~singleton], ends[~singleton])
 
         mins = pdf["min_docid"].to_numpy()
         ns = pdf["n"].to_numpy()
@@ -432,7 +476,6 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
             term, shard = terms[s], int(shards[s])
             for b0 in range(0, docids.size, BLOCK_SIZE):
                 b1 = min(b0 + BLOCK_SIZE, docids.size)
-                tfw = _tf_weight_np(tfs[b0:b1], dls[b0:b1], avgdl)
                 rows.append(
                     (
                         term, int(docids[b0]), int(docids[b1 - 1]),
@@ -440,7 +483,8 @@ def _compact_segments(frags: DataFrame, shard_range: int, avgdl: float,
                         encode_docids(docids[b0:b1]),
                         encode_varint(tfs[b0:b1].astype(np.uint64)),
                         encode_varint(dls[b0:b1].astype(np.uint64)),
-                        float(tfw.max()), shard,
+                        int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
+                        shard,
                     )
                 )
         tables = []

@@ -15,7 +15,7 @@ bundled in this sandbox):
                         lineage/metrics record (north rule: postings_written,
                         terms_merged, bytes_compressed per segment)
       segments/         compacted posting blocks (term, min_docid, max_docid,
-                        n, docids_bin, tfs_bin, dls_bin, block_max)
+                        n, docids_bin, tfs_bin, dls_bin, max_tf, min_dl)
 
 The fragment+manifest pair written together per partition is the
 distributed analog of the reference's index+ids sidecar pair
@@ -32,9 +32,15 @@ import json
 import os
 from dataclasses import dataclass
 
+# Per-block pruning metadata is (max_tf, min_dl), NOT a precomputed
+# tf-weight bound: tf_weight is monotone up in tf and down in dl, so
+# tf_weight(max_tf, min_dl, avgdl_now) is a valid upper bound under ANY
+# current avgdl — blocks never go stale when appends shift corpus stats,
+# which is what makes segments immutable across appends.
 SEGMENT_SCHEMA_DDL = (
     "term string, min_docid long, max_docid long, n int, "
-    "docids_bin binary, tfs_bin binary, dls_bin binary, block_max double"
+    "docids_bin binary, tfs_bin binary, dls_bin binary, "
+    "max_tf int, min_dl int"
 )
 
 MANIFEST_SCHEMA_DDL = (
@@ -79,13 +85,17 @@ class IndexStore:
     def staged_path(self) -> str:
         return os.path.join(self.root, "staged")
 
-    # ---- epoch pointer: atomic snapshot swap (Iceberg-style contract) ----
-    # segments/term_stats live in immutable per-epoch directories
-    # (segments-000001/, ...). Writers build the NEXT epoch's directories,
-    # then flip meta.json (os.replace = atomic) so readers resolve either
-    # the old snapshot or the new one — never a torn table. The previous
-    # epoch is retained for readers that resolved the pointer just before
-    # the flip; older epochs are GC'd.
+    # ---- snapshot pointer: atomic swap + additive appends (LSM-style) ----
+    # segments/term_stats live in IMMUTABLE per-epoch directories
+    # (segments-000001/, ...). meta.json's `segment_dirs`/`term_stats_dirs`
+    # lists name the live set; flipping the list is one atomic os.replace,
+    # so readers resolve either the old snapshot or the new one — never a
+    # torn table. An APPEND adds one new dir holding only the delta's
+    # blocks (O(delta) work — old dirs untouched; their (max_tf, min_dl)
+    # bounds are avgdl-independent so they can't go stale). A FULL
+    # COMPACTION (compact_store) replaces the whole list with one merged
+    # dir; the superseded dirs are retired for one flip (covering readers
+    # that resolved the pointer just before), then GC'd.
 
     def current_epoch(self) -> int | None:
         if not os.path.exists(self.meta_path):
@@ -93,31 +103,61 @@ class IndexStore:
         ep = self.read_meta().get("epoch")
         return None if ep is None else int(ep)
 
+    def _live_dirs(self, key: str, prefix: str) -> list[str]:
+        if not os.path.exists(self.meta_path):
+            return [os.path.join(self.root, prefix)]
+        meta = self.read_meta()
+        dirs = meta.get(key)
+        if dirs:
+            return [os.path.join(self.root, d) for d in dirs]
+        ep = meta.get("epoch")  # pre-list epoched store
+        name = prefix if ep is None else f"{prefix}-{int(ep):06d}"
+        return [os.path.join(self.root, name)]
+
+    def segment_paths(self) -> list[str]:
+        return self._live_dirs("segment_dirs", "segments")
+
+    def term_stats_paths(self) -> list[str]:
+        return self._live_dirs("term_stats_dirs", "term_stats")
+
     def _epoch_path(self, prefix: str) -> str:
-        ep = self.current_epoch()
-        name = prefix if ep is None else f"{prefix}-{ep:06d}"
-        return os.path.join(self.root, name)
+        key = "segment_dirs" if prefix == "segments" else "term_stats_dirs"
+        dirs = self._live_dirs(key, prefix)
+        if len(dirs) != 1:
+            raise ValueError(
+                f"store has {len(dirs)} live {prefix} dirs — use the "
+                f"*_paths() list API (appends make snapshots additive)"
+            )
+        return dirs[0]
 
     def epoch_path(self, prefix: str, epoch: int) -> str:
         return os.path.join(self.root, f"{prefix}-{epoch:06d}")
 
-    def gc_epochs(self, current: int) -> None:
-        """Drop epoch dirs older than current-1 (keep current + previous;
-        the previous covers readers that resolved the pointer pre-flip),
-        plus legacy un-epoched dirs once two epoched snapshots exist."""
+    def gc_dirs(self) -> None:
+        """Delete segments-*/term_stats-* dirs that are neither live nor
+        retired (meta `retired_dirs` — the set superseded by the LAST
+        full compaction, kept one flip for in-flight readers), plus
+        legacy un-suffixed dirs once suffixed snapshots exist."""
         import re
         import shutil
 
-        pat = re.compile(r"^(segments|term_stats)-(\d{6})$")
+        meta = self.read_meta() if os.path.exists(self.meta_path) else {}
+        keep = set(meta.get("segment_dirs") or []) \
+            | set(meta.get("term_stats_dirs") or []) \
+            | set(meta.get("retired_dirs") or [])
+        ep = meta.get("epoch")
+        if ep is not None and not meta.get("segment_dirs"):
+            keep |= {f"segments-{int(ep):06d}", f"term_stats-{int(ep):06d}",
+                     f"segments-{int(ep)-1:06d}", f"term_stats-{int(ep)-1:06d}"}
+        pat = re.compile(r"^(segments|term_stats)(-\d{6})?$")
         for name in os.listdir(self.root):
             m = pat.match(name)
-            if m and int(m.group(2)) < current - 1:
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-        if current >= 2:
-            for prefix in ("segments", "term_stats"):
-                p = os.path.join(self.root, prefix)
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
+            if not m or name in keep:
+                continue
+            if m.group(2) is None and not any(k.startswith(m.group(1) + "-")
+                                              for k in keep):
+                continue  # legacy dir still the only snapshot
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     def ensure_dirs(self) -> None:
         for d in (self.root, self.fragments_dir, self.manifest_dir):

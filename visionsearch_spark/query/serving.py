@@ -39,7 +39,9 @@ class LocalSearcher:
             import pyarrow.compute as pc
 
             flt = pc.field("shard").isin(shards)
-        seg = pads.dataset(store.segments_path).to_table(
+        seg = pads.dataset(
+            [pads.dataset(p) for p in store.segment_paths()]
+        ).to_table(
             columns=["term", "n", "docids_bin", "tfs_bin", "dls_bin"],
             filter=flt,
         )

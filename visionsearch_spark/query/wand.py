@@ -19,9 +19,12 @@ Design (SURVEY.md §3.1 "our lifecycle"):
 Pruning: exact scoring is vectorized rather than doc-at-a-time WAND —
 per the columnar-inverted-index argument (PAPERS.md, ICDE 2025): SIMD
 scoring of whole blocks beats pointer-chasing WAND at low selectivity.
-Block-max metadata still powers two *safe* skips:
-  (1) whole-partition skip when Σ_t idf·max_block_max ≤ threshold;
-  (2) single-term queries: blocks processed in descending block_max order
+Blocks carry (max_tf, min_dl) — tf_weight is monotone up in tf, down in
+dl, so tf_weight(max_tf, min_dl, avgdl_NOW) is a safe upper bound under
+whatever the corpus stats are at query time (appends can't stale it).
+It powers two *safe* skips:
+  (1) whole-partition skip when Σ_t idf·max_block_bound ≤ threshold;
+  (2) single-term queries: blocks processed in descending bound order
       with an exact top-k cutoff (classic block-max pruning, always safe
       because one term ⇒ block bound is the doc bound).
 The reference's threshold filter (`aisearch/core.py:58,61-63`) maps to the
@@ -80,7 +83,8 @@ def _sideband_rows(docids_df: DataFrame, shard_range: int, tag: str) -> DataFram
             pack("ds").alias("docids_bin"),
             F.lit(b"").alias("tfs_bin"),
             F.lit(b"").alias("dls_bin"),
-            F.lit(0.0).alias("block_max"),
+            F.lit(0).cast("int").alias("max_tf"),
+            F.lit(0).cast("int").alias("min_dl"),
         )
     )
 
@@ -116,6 +120,13 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
         qid: terms[0][0] for qid, terms, _k in qplans if len(terms) == 1
     }
 
+    def _block_bound(max_tf: int, min_dl: int) -> float:
+        # tf_weight(max_tf, min_dl) under the CURRENT avgdl >= tf_weight
+        # of every posting in the block (monotonicity) — safe and never
+        # stale across appends
+        return (max_tf * (K1 + 1.0)
+                / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl)))
+
     def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from visionsearch_spark.index.codec import decode_docids as _dec
 
@@ -133,7 +144,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                 elif row.term in by_term:
                     blocks.setdefault(row.term, []).append(
                         (row.n, row.docids_bin, row.tfs_bin, row.dls_bin,
-                         row.block_max)
+                         row.max_tf, row.min_dl)
                     )
         if not blocks:
             return
@@ -158,7 +169,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
 
         def decode_all(term):
             ds, ts, ls = [], [], []
-            for n, db, tb, lb, _bm in blocks[term]:
+            for n, db, tb, lb, _mt, _md in blocks[term]:
                 ds.append(decode_docids(db, n))
                 ts.append(decode_varint(tb, n).astype(np.float64))
                 ls.append(decode_varint(lb, n).astype(np.float64))
@@ -172,7 +183,10 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             present = [(t, w, r) for t, w, r in terms if t in blocks]
             if not present:
                 continue
-            ub = sum(w * max(b[4] for b in blocks[t]) for t, w, _r in present)
+            ub = sum(
+                w * max(_block_bound(b[4], b[5]) for b in blocks[t])
+                for t, w, _r in present
+            )
             if ub <= threshold:
                 continue  # safe partition skip: no doc here can pass
             if qid in single_term_q and not has_sideband:
@@ -245,18 +259,19 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             )
 
     def _single_term_topk(blks, w, k, thr, avgdl_):
-        """Exact top-k with block-max pruning: descending block_max order,
-        stop only when w*block_max is STRICTLY below the kth best — a
-        block whose bound equals the kth score may still hold a doc that
-        wins the (score desc, docid asc) tie-break."""
-        order = sorted(range(len(blks)), key=lambda i: -blks[i][4])
+        """Exact top-k with block-max pruning: descending block-bound
+        order, stop only when the bound is STRICTLY below the kth best —
+        a block whose bound equals the kth score may still hold a doc
+        that wins the (score desc, docid asc) tie-break."""
+        bounds_ = [_block_bound(b[4], b[5]) for b in blks]
+        order = sorted(range(len(blks)), key=lambda i: -bounds_[i])
         best_d: list[np.ndarray] = []
         best_s: list[np.ndarray] = []
         kth = thr
         count = 0
         for i in order:
-            n, db, tb, lb, bm = blks[i]
-            if count >= k and w * bm < kth:
+            n, db, tb, lb, _mt, _md = blks[i]
+            if count >= k and w * bounds_[i] < kth:
                 break
             d = decode_docids(db, n)
             tf = decode_varint(tb, n).astype(np.float64)
@@ -307,12 +322,16 @@ def _lookup_term_dfs(spark: SparkSession, store: IndexStore,
         # stats prune) doesn't justify ~0.3 s of job scheduling. The
         # store lives on shared storage in a cluster, so the driver can
         # read it the same way the LocalSearcher does.
-        tbl = pads.dataset(store.term_stats_path).to_table(
+        ds = pads.dataset([pads.dataset(p) for p in store.term_stats_paths()])
+        tbl = ds.to_table(
             columns=["term", "df"],
             filter=pc.field("term").isin(missing),
         )
-        found = dict(zip(tbl.column("term").to_pylist(),
-                         (int(x) for x in tbl.column("df").to_pylist())))
+        # a term's df is the SUM across live dirs (append adds a dir)
+        found: dict[str, int] = {}
+        for t, x in zip(tbl.column("term").to_pylist(),
+                        tbl.column("df").to_pylist()):
+            found[t] = found.get(t, 0) + int(x)
         for t in missing:
             memo[t] = found.get(t, 0)  # memoize absent terms as df=0
     return {t: memo[t] for t in terms if memo[t] > 0}
@@ -350,12 +369,12 @@ def _carry_bounds_rows(spark: SparkSession, bounds: DataFrame,
             rows.append(
                 (BOUNDS_TERM, s, 1,
                  bytes(encode_docids(np.asarray([cur], dtype=np.int64))),
-                 b"", b"", 0.0)
+                 b"", b"", 0, 0)
             )
         if s in per_shard:
             cur = per_shard[s]
     ddl = ("term string, shard long, n int, docids_bin binary, "
-           "tfs_bin binary, dls_bin binary, block_max double")
+           "tfs_bin binary, dls_bin binary, max_tf int, min_dl int")
     return spark.createDataFrame(rows, ddl)
 
 
@@ -421,9 +440,10 @@ def batch_topk(
 
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
     seg = (
-        spark.read.parquet(store.segments_path)
+        spark.read.parquet(*store.segment_paths())
         .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
-        .select("term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin", "block_max")
+        .select("term", "shard", "n", "docids_bin", "tfs_bin",
+                "dls_bin", "max_tf", "min_dl")
     )
     if docid_filter is not None:
         seg = seg.unionByName(

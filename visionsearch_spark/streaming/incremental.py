@@ -19,11 +19,14 @@ Spark-first translation — append into the SAME store:
      arrival position (`aisearch/main.py:28-33` sorted order applies to
      the initial corpus; later adds append).
   3. SPIMI the delta into new fragments/manifests (new pid range), then
-     re-merge ALL fragments into fresh segments with UPDATED corpus stats
-     (n_docs, avgdl): compaction recomputes block_max from raw tf/dl, so
-     stale upper bounds cannot survive an append. Scoring is always exact
-     under current stats because postings store tf+dl, not weights.
-  4. Query path is unchanged — one store, one segments table.
+     compact ONLY the delta fragments into one NEW segments dir added to
+     the live list (O(delta) — existing dirs are immutable; their
+     (max_tf, min_dl) block bounds are avgdl-independent so refreshed
+     corpus stats can't stale them). Scoring stays exact under current
+     stats because postings store tf+dl, not weights.
+  4. Query path reads the UNION of live segment dirs (same shard
+     repartition — blocks of one docid still land in one task);
+     spimi.compact_store() is the periodic full merge.
 """
 
 from __future__ import annotations
@@ -128,8 +131,9 @@ def incremental_build(transcripts: DataFrame, root: str,
 def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
                    n_partitions: int) -> IndexStore:
     """Complete (or repair) an append: SPIMI every staged pid without a
-    committed manifest, merge all fragments into a fresh epoch, flip meta
-    atomically. Idempotent — safe to re-run after any crash."""
+    committed manifest, compact the not-yet-covered fragments into one new
+    live dir, flip meta atomically. Idempotent — safe to re-run after any
+    crash."""
     from visionsearch_spark.index.spimi import _compact_segments, _make_spimi_fn
 
     sdf = spark.read.parquet(store.staged_path)
@@ -143,7 +147,7 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
     if done:
         pending = sdf.filter(~F.col("pid").isin(sorted(done)))
     spimi_fn = _make_spimi_fn(
-        store.root, avgdl, int(meta["shard_range"]), frozenset()
+        store.root, int(meta["shard_range"]), frozenset()
     )
     (
         pending.select("pid", "docid", "dl", "text")
@@ -153,27 +157,42 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         .count()
     )
 
-    frags = (
-        spark.read.schema(SEGMENT_SCHEMA_DDL)
-        .option("pathGlobFilter", "fragment-*.parquet")
-        .parquet(store.fragments_dir)
-    )
-    next_ep = int(meta.get("epoch") or 0) + 1
-    frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(store.epoch_path("term_stats", next_ep))
-    compacted = _compact_segments(frags, int(meta["shard_range"]), avgdl)
-    (
-        compacted.repartition(n_partitions, "shard")
-        .sortWithinPartitions("shard", "term", "min_docid")
-        .write.mode("overwrite")
-        .parquet(store.epoch_path("segments", next_ep))
-    )
-    meta.update(
-        {"n_docs": n_docs, "avgdl": avgdl, "epoch": next_ep, "phase": "built"}
-    )
+    # O(delta) merge: compact ONLY the fragments no live dir covers into
+    # ONE new segments/term_stats dir and ADD it to the live lists — old
+    # dirs are immutable and their (max_tf, min_dl) bounds are avgdl-
+    # independent, so an append never rewrites or re-reads the existing
+    # index (LSM contract; compact_store() is the periodic full merge).
+    done = store.done_partitions()
+    already = set(meta.get("compacted_pids") or [])
+    delta_pids = sorted(set(done) - already)
+    if delta_pids:
+        frag_paths = [store.fragment_path(p) for p in delta_pids]
+        frags = spark.read.schema(SEGMENT_SCHEMA_DDL).parquet(*frag_paths)
+        next_ep = int(meta.get("epoch") or 0) + 1
+        frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(store.epoch_path("term_stats", next_ep))
+        compacted = _compact_segments(frags, int(meta["shard_range"]))
+        (
+            compacted.repartition(n_partitions, "shard")
+            .sortWithinPartitions("shard", "term", "min_docid")
+            .write.mode("overwrite")
+            .parquet(store.epoch_path("segments", next_ep))
+        )
+        seg_dirs = [os.path.basename(p) for p in store.segment_paths()]
+        ts_dirs = [os.path.basename(p) for p in store.term_stats_paths()]
+        meta.update({
+            "epoch": next_ep,
+            "segment_dirs": seg_dirs + [f"segments-{next_ep:06d}"],
+            "term_stats_dirs": ts_dirs + [f"term_stats-{next_ep:06d}"],
+            "compacted_pids": sorted(done),
+            # dirs retired by the previous full compaction are now two
+            # flips old — no reader can still hold them
+            "retired_dirs": [],
+        })
+    meta.update({"n_docs": n_docs, "avgdl": avgdl, "phase": "built"})
     store.write_meta(meta)  # the atomic snapshot flip
-    store.gc_epochs(next_ep)
+    store.gc_dirs()
     from visionsearch_spark.query.wand import invalidate_term_df_memo
 
     invalidate_term_df_memo(store.root)  # df/N changed under this root
