@@ -297,3 +297,35 @@ def test_append_dirs_additive_then_compaction_gcs(spark, halves,
     assert meta["segment_dirs"] == ["segments-000004", "segments-000005"]
     on_disk = {d for d in os.listdir(root) if d.startswith("segments")}
     assert on_disk == {"segments-000004", "segments-000005"}
+
+
+def test_many_microbatches_bounded_dirs(spark, transcripts_pdf,
+                                        tmp_path_factory):
+    """10 streaming-style appends: live dir count stays bounded by the
+    auto-compaction policy and results remain exact throughout."""
+    import math
+
+    from visionsearch_spark.oracle import build_oracle_index, oracle_search
+
+    convs = sorted(transcripts_pdf["conv_id"].unique())[:40]
+    pdf = transcripts_pdf[transcripts_pdf["conv_id"].isin(convs)]
+    root = str(tmp_path_factory.mktemp("idx_micro"))
+    store = None
+    for i in range(0, 40, 4):  # initial build + 9 appends
+        part = pdf[pdf["conv_id"].isin(convs[: i + 4])]
+        store = incremental_build(
+            spark.createDataFrame(part, schema=TRANSCRIPTS_SCHEMA),
+            root, n_partitions=4, max_live_dirs=4,
+        )
+        assert len(store.read_meta()["segment_dirs"]) <= 5
+    assert store.read_meta()["n_docs"] == len(pdf)
+    oracle = build_oracle_index(
+        list(pdf[["conv_id", "turn_idx", "text"]]
+             .itertuples(index=False, name=None)))
+    for q, k in [("join filter", 10), ("window", 5)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[3], rel_tol=1e-9)

@@ -56,7 +56,8 @@ def pending_rows(transcripts: DataFrame, store: IndexStore) -> DataFrame:
 
 
 def incremental_build(transcripts: DataFrame, root: str,
-                      n_partitions: int | None = None) -> IndexStore:
+                      n_partitions: int | None = None,
+                      max_live_dirs: int = 8) -> IndexStore:
     """Index only rows absent from the docmap, appending to the store.
 
     Crash-safe append protocol (the staged parquet IS the docmap, so an
@@ -77,6 +78,11 @@ def incremental_build(transcripts: DataFrame, root: str,
     detects it and re-runs (3), which is idempotent: docid/pid bases are
     derived from max() over the staged table — never from possibly-stale
     meta — and committed pids are skipped via their manifests.
+
+    Appends are O(delta) and each adds one live segments dir; when the
+    live set exceeds max_live_dirs a full compact_store() runs inline
+    (the LSM merge policy — steady-state scan locality stays bounded
+    regardless of how many micro-batches streamed in).
     """
     from visionsearch_spark.index.spimi import build_index
 
@@ -125,7 +131,12 @@ def incremental_build(transcripts: DataFrame, root: str,
         for cached in cache_handle:  # staged parquet supersedes the cache
             cached.unpersist()
 
-    return _finish_append(spark, store, meta, n_partitions)
+    store = _finish_append(spark, store, meta, n_partitions)
+    if len(store.read_meta().get("segment_dirs") or []) > max_live_dirs:
+        from visionsearch_spark.index.spimi import compact_store
+
+        store = compact_store(spark, store.root, n_partitions)
+    return store
 
 
 def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
