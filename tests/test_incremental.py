@@ -329,3 +329,20 @@ def test_many_microbatches_bounded_dirs(spark, transcripts_pdf,
             (e[1], e[2]) for e in exp], q
         for g, e in zip(got, exp):
             assert math.isclose(g["score"], e[3], rel_tol=1e-9)
+
+
+def test_singular_path_property_guards_multi_dir(spark, halves,
+                                                 tmp_path_factory):
+    """store.segments_path (singular) must refuse to silently pick one dir
+    of a multi-dir store — callers must use segment_paths()."""
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_guard"))
+    incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    store = incremental_build(
+        spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    assert len(store.segment_paths()) == 2
+    with pytest.raises(ValueError, match="live"):
+        _ = store.segments_path
