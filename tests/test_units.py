@@ -159,3 +159,42 @@ def test_local_searcher_unit_collapse_matches_spark(spark, unit_store):
         assert [(r["conv_id"]) for r in spark_res] == [c for _d, c, _s in served]
         for r, (_d, _c, s) in zip(spark_res, served):
             assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+def test_unit_collapse_after_append_split_parent(spark, tmp_path_factory):
+    """A parent that gains units in a LATER append owns two non-adjacent
+    docid runs. Collapse must still produce ONE row per parent with the
+    max over ALL its units, in both the distributed and serving paths."""
+    import math
+
+    from visionsearch_spark.query.serving import LocalSearcher
+    from visionsearch_spark.streaming.incremental import incremental_build
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    inc1 = [("doc-A", 1, "user", "join filter", "", None),
+            ("doc-A", 2, "user", "spark index merge", "", None),
+            ("doc-B", 1, "user", "join stream scan", "", None)]
+    inc2 = inc1 + [("doc-A", 3, "user", "join filter stream", "", None),
+                   ("doc-C", 1, "user", "filter cache", "", None)]
+    root = str(tmp_path_factory.mktemp("idx_split"))
+    incremental_build(spark.createDataFrame(inc1, schema), root,
+                      n_partitions=2)
+    store = incremental_build(spark.createDataFrame(inc2, schema), root,
+                              n_partitions=2)
+
+    exp = _collapsed_oracle(
+        [(c, t, x) for c, t, _r, x, _tl, _ts in inc2], "join filter", 10)
+    assert exp[0][0] == "doc-A"  # best unit is the APPENDED one
+    got = unit_batch_topk(spark, store, [(0, "join filter", 10)]) \
+        .orderBy("rank").collect()
+    assert [r["conv_id"] for r in got] == [c for c, _s in exp]
+    for g, (_c, s) in zip(got, exp):
+        assert math.isclose(g["score"], s, rel_tol=1e-9)
+    # only one row per parent even though doc-A spans two docid runs
+    assert len({r["conv_id"] for r in got}) == len(got)
+
+    served = LocalSearcher(store).search_docs("join filter", k=10)
+    assert [c for _d, c, _s in served] == [c for c, _s in exp]
+    for (_d, _c, s), (_c2, s2) in zip(served, exp):
+        assert math.isclose(s, s2, rel_tol=1e-9)

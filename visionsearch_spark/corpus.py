@@ -87,24 +87,18 @@ def get_documents_unit_index(spark: SparkSession, sf_dir: str,
     """Unit-level index (one indexed unit per sentence) + doc_bounds
     parquet (first unit docid per parent doc — the collapse map for
     batch_topk(collapse_bounds=...))."""
-    from visionsearch_spark.query.units import DOC_BOUNDS_DIR
+    from visionsearch_spark.query.units import bounds_fresh, write_doc_bounds
 
     key = hashlib.sha1(
         f"{CACHE_VERSION}-units:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"vss_idx_{key}")
     store = IndexStore(root)
-    bounds_path = os.path.join(root, DOC_BOUNDS_DIR)
     if (os.path.exists(store.meta_path)
             and store.read_meta().get("phase") == "built"
-            and os.path.exists(bounds_path)):
+            and bounds_fresh(store)):
         return store
     tx = documents_as_unit_transcripts(spark, sf_dir)
     store = build_index(tx, root, n_partitions=n_partitions)
-    (
-        spark.read.parquet(store.docmap_path)
-        .groupBy("conv_id").agg(F.min("docid").alias("docid"))
-        .select("docid")
-        .write.mode("overwrite").parquet(bounds_path)
-    )
+    write_doc_bounds(spark, store)
     return store

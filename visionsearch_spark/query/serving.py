@@ -73,15 +73,7 @@ class LocalSearcher:
         self._conv = np.asarray(dm.column("conv_id").to_pylist(), dtype=object)[order]
         self._turn = np.asarray(dm.column("turn_idx"))[order]
 
-        # unit stores carry a doc_bounds parquet (first unit docid per
-        # parent doc); load it when present for search_docs collapse
-        import os
-
-        bpath = os.path.join(store.root, "doc_bounds")
-        self._bounds: np.ndarray | None = None
-        if os.path.isdir(bpath):
-            b = pads.dataset(bpath).to_table(columns=["docid"])
-            self._bounds = np.sort(np.asarray(b.column("docid")))
+        self._bounds: np.ndarray | None = None  # derived lazily
 
     def _get_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(docids, tf_weight) for a term — decoded on first use, cached."""
@@ -113,10 +105,17 @@ class LocalSearcher:
     def search_docs(self, query: str, k: int = 5, threshold: float = 0.0
                     ) -> list[tuple[int, str, float]]:
         """Doc-level top-k over a UNIT store: per-unit scores collapse to
-        per-document max (units.py semantics, served in-memory).
+        per-document max (units.py semantics, served in-memory). Bounds
+        are derived from the loaded docid-ordered conv column — never a
+        stored table that an append could leave stale. Over a transcript
+        store this collapses turns per conversation (conv-level search).
         Returns [(first_unit_docid, conv_id, score)]."""
         if self._bounds is None:
-            raise ValueError("store has no doc_bounds — not a unit store")
+            conv = self._conv
+            if conv.size == 0:
+                return []
+            change = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+            self._bounds = np.concatenate(([0], change)).astype(np.int64)
         units = self._scored(query, threshold)
         if units is None or units[0].size == 0:
             return []
@@ -129,10 +128,29 @@ class LocalSearcher:
         )
         uniq = parent[st]
         sums = np.maximum.reduceat(sums, st)
-        uniq, sums = self._select_topk(uniq, sums, k)
+        # second collapse keys on the PARENT id: a parent whose units were
+        # appended in a later increment owns several runs
+        convs = self._conv[uniq]
+        order = np.argsort(convs, kind="stable")  # stable: docid asc kept
+        convs, uniq, sums = convs[order], uniq[order], sums[order]
+        st2 = np.concatenate(
+            ([0], np.flatnonzero(convs[1:] != convs[:-1]) + 1)
+        )
+        convs = convs[st2]
+        uniq = uniq[st2]
+        sums = np.maximum.reduceat(sums, st2)
+        # tie-break on the PARENT id (== the distributed path's ordering;
+        # docid order can diverge from conv order on appended stores)
+        if uniq.size > k:
+            kth = -np.partition(-sums, k - 1)[k - 1]
+            cand = np.flatnonzero(sums >= kth)
+            order2 = np.lexsort((convs[cand], -sums[cand]))[:k]
+            sel = cand[order2]
+        else:
+            sel = np.lexsort((convs, -sums))
         return [
-            (int(d), str(self._conv[d]), float(s))
-            for d, s in zip(uniq, sums)
+            (int(uniq[i]), str(convs[i]), float(sums[i]))
+            for i in sel
         ]
 
     def _scored(self, query: str, threshold: float

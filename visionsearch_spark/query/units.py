@@ -23,21 +23,63 @@ from visionsearch_spark.index.store import IndexStore
 from visionsearch_spark.query.wand import batch_topk
 
 DOC_BOUNDS_DIR = "doc_bounds"
+DOC_BOUNDS_META = "doc_bounds_meta.json"
 
 UNIT_RESULT_DDL = "query_id long, rank int, conv_id string, score double"
 
 
-def doc_bounds(spark: SparkSession, store: IndexStore) -> DataFrame:
-    """First-unit docid per parent doc. Prefers the parquet materialized
-    at build time (get_documents_unit_index); falls back to a docmap agg."""
-    path = os.path.join(store.root, DOC_BOUNDS_DIR)
-    if os.path.exists(path):
-        return spark.read.parquet(path)
+def _run_starts(spark: SparkSession, store: IndexStore) -> DataFrame:
+    """Docids starting a contiguous same-parent run in docid order —
+    computed with a docid-1 self-join (no global window). One bound per
+    parent on a fresh build; a parent that gained units in a LATER
+    append owns several runs (they re-merge in the conv-level agg)."""
+    dm = spark.read.parquet(store.docmap_path).select("docid", "conv_id")
+    prev = dm.select(
+        (F.col("docid") + 1).alias("docid"),
+        F.col("conv_id").alias("_prev_conv"),
+    )
     return (
-        spark.read.parquet(store.docmap_path)
-        .groupBy("conv_id").agg(F.min("docid").alias("docid"))
+        dm.join(prev, "docid", "left")
+        .filter(
+            F.col("_prev_conv").isNull()
+            | (F.col("_prev_conv") != F.col("conv_id"))
+        )
         .select("docid")
     )
+
+
+def write_doc_bounds(spark: SparkSession, store: IndexStore) -> None:
+    """Materialize run-start bounds plus a freshness marker (n_docs at
+    write time): an append grows the docmap, and a stale bounds table
+    would silently mis-collapse the new docs' units."""
+    import json
+
+    path = os.path.join(store.root, DOC_BOUNDS_DIR)
+    _run_starts(spark, store).write.mode("overwrite").parquet(path)
+    tmp = os.path.join(store.root, DOC_BOUNDS_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_docs": int(store.read_meta()["n_docs"])}, f)
+    os.replace(tmp, os.path.join(store.root, DOC_BOUNDS_META))
+
+
+def bounds_fresh(store: IndexStore) -> bool:
+    import json
+
+    mpath = os.path.join(store.root, DOC_BOUNDS_META)
+    if not (os.path.isdir(os.path.join(store.root, DOC_BOUNDS_DIR))
+            and os.path.exists(mpath)):
+        return False
+    with open(mpath) as f:
+        return int(json.load(f)["n_docs"]) == int(store.read_meta()["n_docs"])
+
+
+def doc_bounds(spark: SparkSession, store: IndexStore) -> DataFrame:
+    """Run-start bounds for collapse. Uses the materialized parquet only
+    while its freshness marker matches the store's n_docs; otherwise
+    derives from the docmap (exact at any snapshot)."""
+    if bounds_fresh(store):
+        return spark.read.parquet(os.path.join(store.root, DOC_BOUNDS_DIR))
+    return _run_starts(spark, store)
 
 
 def unit_batch_topk(

@@ -464,14 +464,41 @@ def batch_topk(
         ),
         "query_id long, docid long, score double",
     )
-    if collapse_bounds is not None:
-        # partitions sharing a straddling doc each emit a partial max
-        partials = partials.groupBy("query_id", "docid").agg(
-            F.max("score").alias("score")
-        )
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
+    if collapse_bounds is not None:
+        # final collapse keys on the PARENT (conv_id), not the run-start
+        # docid: partitions sharing a straddling run each emit a partial
+        # max, and a parent whose units were appended in a later increment
+        # owns several runs — the conv-level max re-merges both cases.
+        # Representative (docid, turn_idx) = the parent's first unit.
+        partials = (
+            partials.join(docmap, "docid")
+            .groupBy("query_id", "conv_id")
+            .agg(
+                F.max("score").alias("score"),
+                F.min(F.struct("docid", "turn_idx")).alias("_first"),
+            )
+            .select(
+                "query_id", "conv_id", "score",
+                F.col("_first.docid").alias("docid"),
+                F.col("_first.turn_idx").alias("turn_idx"),
+            )
+        )
+        kdf = spark.createDataFrame(
+            [(qid, k) for qid, _t, k in qplans], "query_id long, k int"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("conv_id")
+        )
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(kdf), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "docid", "conv_id", "turn_idx",
+                    "score")
+        )
     if driver_merge:
         rows = partials.collect()
         kmap = {qid: k for qid, _t, k in qplans}
