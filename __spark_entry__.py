@@ -324,10 +324,13 @@ def _tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            # round(x, 2): these sums reach ~1e9+ at sf>=0.1, where a
+            # float64 ulp (~5e-7) crosses the 1e-6 rounding step and
+            # summation-order noise breaks exact 6-decimal matching
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -930,9 +933,9 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
     """
     sql["tpch_q1_like"] = """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 6) AS sum_qty,
-               round(sum(l_extendedprice), 6) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
