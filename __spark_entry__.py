@@ -247,20 +247,22 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=5, tau=0.6, max_shingle_df=1000)
 
 
-def _simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.dedup import simhash
 
     docs = spark.read.parquet(_p(sf_dir, "documents"))
-    return simhash(docs).withColumnRenamed("id", "doc_id")
+    return simhash(docs, n_bits=64).withColumnRenamed("id", "doc_id")
 
 
 def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Hamming-<=3 pairing via pigeonhole-complete banded buckets
-    (dedup.simhash_pairs) — closes the r1 'signatures only' gap."""
+    (dedup.simhash_pairs) at 64 bits — 16-bit band buckets (65 536 values
+    per band) keep candidate mass linear at 10^9+ docs where the old
+    32-bit/8-bit-chunk config went quadratic."""
     from visionsearch_spark.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(_p(sf_dir, "documents"))
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, max_hamming=3, n_bits=64)
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine_topk": _cosine_topk,
             "dedup_minhash_lsh": _dedup_minhash_lsh,
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-            "simhash32": _simhash32,
+            "simhash64": _simhash64,
             "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
             "quality_score": _quality_score,
@@ -551,18 +553,30 @@ cands AS (
     )
 
 
-def _simhash_oracle(n_bits: int = 32) -> str:
+def _simhash_oracle(n_bits: int = 64) -> str:
+    """Twin of dedup.simhash: bit i = sign bit (i mod 16) of hash j=i//16
+    (independent affine hashes — a single 31-bit hash can't supply 64
+    uniform bits). Bit 63 recomposes as -2^63 (two's-complement sign
+    bit), matching the Spark side exactly."""
     from visionsearch_spark.operators.dedup import (
-        MINHASH_A, MINHASH_B, MINHASH_PRIME,
+        MINHASH_A, MINHASH_B, MINHASH_PRIME, SIMHASH_BITS_PER_HASH as W,
     )
 
     toks = duckdb_tokens("text")
+    n_hashes = -(-n_bits // W)
+    hash_cols = ", ".join(
+        f"({MINHASH_A[j]}::BIGINT * dic.tid + {MINHASH_B[j]}) % {MINHASH_PRIME} AS hj{j}"
+        for j in range(n_hashes)
+    )
     bit_sums = ", ".join(
-        f"sum(CASE WHEN (hash >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        f"sum(CASE WHEN (hj{i // W} >> {i % W}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
         for i in range(n_bits)
     )
     recompose = " + ".join(
-        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        f"CASE WHEN b{i} > 0 THEN "
+        + ("(-9223372036854775807 - 1)::BIGINT" if i == 63
+           else f"{1 << i}::BIGINT")
+        + " ELSE 0 END"
         for i in range(n_bits)
     )
     return f"""
@@ -575,8 +589,7 @@ dic AS (
   FROM (SELECT DISTINCT term FROM tf)
 ),
 h AS (
-  SELECT tf.id, tf.tf,
-         ({MINHASH_A[0]}::BIGINT * dic.tid + {MINHASH_B[0]}) % {MINHASH_PRIME} AS hash
+  SELECT tf.id, tf.tf, {hash_cols}
   FROM tf JOIN dic USING(term)
 ),
 agg AS (SELECT id, {bit_sums} FROM h GROUP BY id)
@@ -890,9 +903,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)
-    sql["simhash32"] = _simhash_oracle(32)
+    sql["simhash64"] = _simhash_oracle(64)
     sql["simhash_neardup"] = (
-        "WITH s AS (" + _simhash_oracle(32) + """)
+        "WITH s AS (" + _simhash_oracle(64) + """)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -90,12 +90,19 @@ def test_minhash_lsh_finds_planted_neardups(spark, docs_df):
     assert (0, 5) in got
 
 
+_M64 = (1 << 64) - 1
+
+
+def _ham(a: int, b: int) -> int:
+    """64-bit Hamming distance; signatures are signed int64 (bit 63 is the
+    two's-complement sign bit), so mask before popcount."""
+    return bin((a ^ b) & _M64).count("1")
+
+
 def test_simhash_properties(spark, docs_df):
     got = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
     assert got[0] == got[5]  # identical docs -> identical simhash
-    ham_near = bin(got[0] ^ got[1]).count("1")
-    ham_far = bin(got[0] ^ got[4]).count("1")
-    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    assert _ham(got[0], got[1]) < _ham(got[0], got[4])  # near-dup closer
 
 
 def test_simhash_pairs_complete_vs_bruteforce(spark):
@@ -120,9 +127,9 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
     sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
     ids = sorted(sigs)
     expected = {
-        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        (a, b, _ham(sigs[a], sigs[b]))
         for i, a in enumerate(ids) for b in ids[i + 1:]
-        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        if _ham(sigs[a], sigs[b]) <= 3
     }
     assert expected, "fixture must produce close pairs"
     got = {
@@ -130,3 +137,12 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
         for r in simhash_pairs(df, max_hamming=3).collect()
     }
     assert got == expected
+
+    # 64-bit scale guard: every 16-bit band must be well-spread — in
+    # particular the HIGH bands, which under a single-31-bit-hash scheme
+    # would be constant (every doc in one bucket => quadratic candidates).
+    vals = [s & _M64 for s in sigs.values()]
+    n = len(set(vals))
+    for band in range(4):
+        buckets = {(v >> (band * 16)) & 0xFFFF for v in vals}
+        assert len(buckets) > 0.5 * n, (band, len(buckets), n)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from visionsearch_spark.fixtures import TRANSCRIPTS_SCHEMA, make_transcripts_pdf
 from visionsearch_spark.index.store import IndexStore
@@ -346,3 +347,103 @@ def test_singular_path_property_guards_multi_dir(spark, halves,
     assert len(store.segment_paths()) == 2
     with pytest.raises(ValueError, match="live"):
         _ = store.segments_path
+
+
+def _mk_tx(spark, rows):
+    """rows: (conv_id, turn_idx, text) -> transcripts DataFrame."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    pdf["role"] = "user"
+    pdf["tool"] = ""
+    pdf["ts"] = pd.Timestamp("2024-01-01").as_unit("us")
+    return spark.createDataFrame(
+        pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def test_appended_store_boundary_tie_resolves_by_conv(spark, tmp_path_factory):
+    """An appended conv with an EXACT score tie at the k boundary must win
+    the (score desc, conv_id) tie-break even though its docid is the
+    highest (docid order diverges from conv order after appends). Guards
+    the per-partition k-cut: cutting to exactly k by docid inside one
+    partition would drop the appended conv."""
+    root = str(tmp_path_factory.mktemp("idx_tie"))
+    # 3 docs, n_partitions=2 -> shard_range=2: shard1 spans the increment
+    # boundary (docids 2=m02 and 3=a90), so within that shard docid order
+    # (m02 first) diverges from conv order (a90 first).
+    first = [(f"m{i:02d}", 1, "apple banana shared text") for i in range(3)]
+    incremental_build(_mk_tx(spark, first), root, n_partitions=2)
+    # appended convs: lexicographically FIRST, docids LAST (3..6)
+    both = first + [(f"a9{i}", 1, "apple banana shared text")
+                    for i in range(4)]
+    store = incremental_build(_mk_tx(spark, both), root, n_partitions=2)
+    assert store.read_meta()["n_docs"] == 7
+    assert int(store.read_meta()["shard_range"]) == 2
+
+    for q in ("apple banana", "apple"):  # multi-term and single-term paths
+        # window-merge path, k=1: shard1 holds 2 tied docs (m02, a90); a
+        # cut-to-exactly-k by docid drops a90, the global conv winner
+        got = topk(spark, store, q, k=1, driver_merge=False).collect()
+        assert [r["conv_id"] for r in got] == ["a90"], q
+        # driver-merge path, k=3: the final merge must tie-break by conv,
+        # not docid (pre-fix it returned m00,m01,m02)
+        got = topk(spark, store, q, k=3, driver_merge=True).collect()
+        assert [r["conv_id"] for r in got] == ["a90", "a91", "a92"], q
+        assert len({round(r["score"], 9) for r in got}) == 1  # all tied
+
+
+def test_legacy_store_append_does_not_duplicate_postings(
+        spark, halves, tmp_path_factory):
+    """Appending to a round-1-layout store (meta without compacted_pids,
+    un-suffixed segments/term_stats dirs) must not re-compact the already
+    covered pids — pre-fix every old posting was duplicated, doubling df
+    sums and scores."""
+    import json
+    import os
+    import shutil
+
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_legacy"))
+    store = incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+
+    # downgrade to the legacy layout: single un-suffixed dirs, no LSM keys
+    meta = store.read_meta()
+    ep = int(meta["epoch"])
+    os.rename(os.path.join(root, f"segments-{ep:06d}"),
+              os.path.join(root, "segments"))
+    os.rename(os.path.join(root, f"term_stats-{ep:06d}"),
+              os.path.join(root, "term_stats"))
+    for key in ("compacted_pids", "segment_dirs", "term_stats_dirs",
+                "retired_dirs", "epoch"):
+        meta.pop(key, None)
+    with open(store.meta_path, "w") as f:
+        json.dump(meta, f)
+    assert store.segment_paths() == [os.path.join(root, "segments")]
+
+    store = incremental_build(
+        spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    meta = store.read_meta()
+    assert meta["n_docs"] == len(full_pdf)
+    assert "compacted_pids" in meta
+
+    # df totals must equal distinct (doc, term) pairs — doubling detector
+    oracle = build_oracle_index(
+        list(full_pdf[["conv_id", "turn_idx", "text"]]
+             .itertuples(index=False, name=None)))
+    ts = spark.read.parquet(*store.term_stats_paths())
+    got_df = {r["term"]: r["df"] for r in
+              ts.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    assert got_df == dict(oracle.df)
+
+    for q, k in [("join filter", 10), ("window", 5)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[3], rel_tol=1e-9)

@@ -39,6 +39,10 @@ MINHASH_B = [12_345, 54_321, 7_919, 104_729, 1_299_709, 15_485_863,
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
+# SimHash draws 16 sign bits from each affine hash (low bits of a 31-bit
+# value are uniform; see simhash docstring).
+SIMHASH_BITS_PER_HASH = 16
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -170,7 +174,7 @@ def _verify_jaccard(cands: DataFrame, sids: DataFrame, tau: float) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n_bits: int = 32) -> DataFrame:
+                  n_bits: int = 64) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     EXACT, not probabilistic: the signature is split into max_hamming+1
@@ -178,9 +182,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     chunks, so it AGREES on >=1 chunk (pigeonhole) — the per-chunk
     equality self-join therefore generates a COMPLETE candidate set, and
     bit_count(xor) verifies the exact distance. Candidate volume per
-    chunk is sum over buckets of C(bucket,2): fine while 2^chunk_width
-    >> collision mass — for tighter thresholds the chunks widen and the
-    join gets MORE selective. Returns (id_a < id_b, hamming:int)."""
+    chunk is sum over buckets of C(bucket,2): n_bits=64 with max_hamming=3
+    gives 16-bit chunks (65 536 buckets per band), where 32 bits gave
+    8-bit chunks whose 256 buckets accumulate quadratic collision mass at
+    10^9+ docs — that's why 64 is the default and the contract config.
+    Returns (id_a < id_b, hamming:int)."""
     sig = simhash(docs, text_col, id_col, n_bits)
     n_bands = max_hamming + 1
     w = -(-n_bits // n_bands)  # ceil: chunks cover all bits
@@ -210,29 +216,48 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            n_bits: int = 32) -> DataFrame:
+            n_bits: int = 64) -> DataFrame:
     """SimHash over term-ID hashes: bit_i = sign of Σ_t tf(t)·(±1)_i(t).
 
-    (±1)_i(t) derives from bit i of h(t) = (a1*tid + b1) mod p — identical
-    arithmetic is reproducible in SQL. Returns (id, simhash:long)."""
+    (±1)_i(t) is bit (i mod 16) of h_j(t) = (A[j]·tid + B[j]) mod p with
+    j = i div 16. Each hash function contributes only its LOW 16 bits:
+    p = 2^31-1 makes bit 31+ of any single (a·tid+b) mod p identically
+    zero, so one hash cannot supply 64 independent sign bits — constant
+    high bits would collapse every banded chunk over them to a single
+    bucket and re-create the quadratic candidate mass the 64-bit widening
+    exists to kill. ceil(n_bits/16) independent affine hashes keep every
+    signature bit uniform. Identical arithmetic is reproducible in SQL
+    (oracle: __spark_entry__._simhash_oracle). Returns (id, simhash:long);
+    bit 63 is the two's-complement sign bit (set by adding -2^63)."""
+    n_hashes = -(-n_bits // SIMHASH_BITS_PER_HASH)
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(f"n_bits={n_bits} needs {n_hashes} hash fns, "
+                         f"have {len(MINHASH_A)}")
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(tokens_col(text_col)).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dic = dense_ids(tf.select("term").distinct(), "term", out_col="tid")
-    h = tf.join(dic, "term").withColumn(
-        "hash", (F.lit(MINHASH_A[0]) * F.col("tid") + F.lit(MINHASH_B[0]))
-        % F.lit(MINHASH_PRIME)
+    h = tf.join(dic, "term").select(
+        "id", "tf",
+        *[((F.lit(MINHASH_A[j]) * F.col("tid") + F.lit(MINHASH_B[j]))
+           % F.lit(MINHASH_PRIME)).alias(f"hj{j}")
+          for j in range(n_hashes)],
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("hash"), i).bitwiseAND(F.lit(1)) == 1,
-                   F.col("tf")).otherwise(-F.col("tf"))
+            F.when(
+                F.shiftright(F.col(f"hj{i // SIMHASH_BITS_PER_HASH}"),
+                             i % SIMHASH_BITS_PER_HASH)
+                .bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
         ).alias(f"b{i}")
         for i in range(n_bits)
     ]
     agg = h.groupBy("id").agg(*bit_sums)
     out = F.lit(0).cast("long")
     for i in range(n_bits):
-        out = out + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")) \
+        bit_val = -(1 << 63) if i == 63 else (1 << i)  # sign bit: two's compl.
+        out = out + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
     return agg.select("id", out.alias("simhash"))

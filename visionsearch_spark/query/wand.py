@@ -89,14 +89,22 @@ def _sideband_rows(docids_df: DataFrame, shard_range: int, tag: str) -> DataFram
     )
 
 
-def _topk_tiebreak(docids: np.ndarray, scores: np.ndarray, k: int
-                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Select k best by (score desc, docid asc). np.argpartition alone is
-    WRONG here: it picks arbitrary members among equal scores at the k
-    boundary, but the deterministic contract requires the smallest docids
-    to win ties (SURVEY.md §7 R2)."""
-    order = np.lexsort((docids, -scores))[:k]
-    return docids[order], scores[order]
+def _topk_keep_ties(docids: np.ndarray, scores: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-PARTITION cut: keep every doc scoring >= the kth best, i.e.
+    boundary ties are NOT resolved here. The global merge orders by
+    (score desc, conv_id[, turn_idx]), and on an appended store docid
+    order diverges from conv order (later increments get higher docids
+    regardless of lexicographic conv_id) — cutting to exactly k by docid
+    inside one partition could drop the doc that wins the global conv
+    tie-break. Keeping ties costs at most the tied-run length extra rows
+    per partition and leaves tie resolution to the final window, which
+    has the conv key."""
+    if docids.size <= k:
+        return docids, scores
+    kth = -np.partition(-scores, k - 1)[k - 1]
+    m = scores >= kth
+    return docids[m], scores[m]
 
 
 def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
@@ -240,8 +248,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                 sums = np.maximum.reduceat(sums, st)
             keep = sums > threshold
             uniq, sums = uniq[keep], sums[keep]
-            if uniq.size > k:
-                uniq, sums = _topk_tiebreak(uniq, sums, k)
+            uniq, sums = _topk_keep_ties(uniq, sums, k)
             if uniq.size:
                 out_qid.append(np.full(uniq.size, qid, dtype=np.int64))
                 out_docid.append(uniq)
@@ -289,9 +296,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             return np.zeros(0, dtype=np.int64), np.zeros(0)
         d = np.concatenate(best_d)
         s = np.concatenate(best_s)
-        if d.size > k:
-            d, s = _topk_tiebreak(d, s, k)
-        return d, s
+        return _topk_keep_ties(d, s, k)
 
     return score
 
@@ -394,11 +399,13 @@ def batch_topk(
     the opposite of the reference's one-HTTP-request-one-scan loop).
 
     driver_merge=True is the low-latency serving path: per-partition
-    top-k candidates (≤ n_tasks·k rows — tiny by construction) are merged
-    on the driver instead of through a shuffle+window, and the docmap
-    lookup becomes a docid-IN-pushdown scan. Identical results: the
-    tie-break (score desc, conv_id, turn_idx) equals (score desc, docid)
-    because docids are assigned in (conv_id, turn_idx) order (docid.py).
+    top-k candidates (≤ n_tasks·k + boundary-tie rows — tiny by
+    construction) are merged on the driver instead of through a
+    shuffle+window, and the docmap lookup becomes a docid-IN-pushdown
+    scan. Identical results: the conv keys are looked up for ALL
+    candidates before the final cut, so the (score desc, conv_id,
+    turn_idx) tie-break holds even on appended stores where docid order
+    diverges from conv order.
 
     docid_filter: DataFrame with a `docid` column — metadata-filtered
     search (predicate ∧ top-k): only these docids are ranked, with
@@ -501,18 +508,14 @@ def batch_topk(
         )
     if driver_merge:
         rows = partials.collect()
-        kmap = {qid: k for qid, _t, k in qplans}
-        by_q: dict[int, list] = {}
-        for r in rows:
-            by_q.setdefault(r["query_id"], []).append((-r["score"], r["docid"]))
-        merged: list[tuple[int, int, int, float]] = []
-        for qid, cand in by_q.items():
-            cand.sort()
-            for rank, (ns, d) in enumerate(cand[: kmap[qid]], start=1):
-                merged.append((qid, rank, d, -ns))
-        if not merged:
+        if not rows:
             return spark.createDataFrame([], RESULT_DDL)
-        hit_ids = sorted({d for _q, _r, d, _s in merged})
+        kmap = {qid: k for qid, _t, k in qplans}
+        # conv lookup BEFORE the final cut: the contract tie-break is
+        # (score desc, conv_id, turn_idx), and on an appended store docid
+        # order diverges from conv order — candidates are ≤ tasks·k rows,
+        # so looking all of them up costs the same O(k) row groups.
+        hit_ids = sorted({r["docid"] for r in rows})
         # driver-side pyarrow point lookup (docid-sorted staged files →
         # row-group prune touches O(k) groups); avoids a second Spark job
         # on the interactive path
@@ -529,11 +532,18 @@ def batch_topk(
                                dm.column("conv_id").to_pylist(),
                                dm.column("turn_idx").to_pylist())
         }
-        out = [
-            (qid, rank, d, keymap[d][0], keymap[d][1], s)
-            for qid, rank, d, s in merged
-        ]
-        return spark.createDataFrame(out, RESULT_DDL)
+        by_q: dict[int, list] = {}
+        for r in rows:
+            c, t = keymap[r["docid"]]
+            by_q.setdefault(r["query_id"], []).append(
+                (-r["score"], c, t, r["docid"])
+            )
+        merged: list[tuple[int, int, int, str, int, float]] = []
+        for qid, cand in by_q.items():
+            cand.sort()
+            for rank, (ns, c, t, d) in enumerate(cand[: kmap[qid]], start=1):
+                merged.append((qid, rank, d, c, t, -ns))
+        return spark.createDataFrame(merged, RESULT_DDL)
     kdf = spark.createDataFrame(
         [(qid, k) for qid, _t, k in qplans], "query_id long, k int"
     )

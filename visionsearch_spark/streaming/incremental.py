@@ -94,6 +94,24 @@ def incremental_build(transcripts: DataFrame, root: str,
     meta = store.read_meta()
     needs_repair = meta.get("phase") == "appending"
     n_partitions = n_partitions or int(meta["n_partitions"])
+    if "compacted_pids" not in meta:
+        # legacy (pre-LSM) store upgrade: its single live segments dir
+        # already covers every committed pid. Record that BEFORE the first
+        # additive append — with compacted_pids empty, _finish_append would
+        # re-compact those pids into a SECOND live dir and every old
+        # posting would exist twice (df sums and scores double).
+        if needs_repair:
+            # crashed pre-upgrade append: the fragment set is the single
+            # source of truth — a full merge covers every committed pid
+            # exactly once and stamps compacted_pids; staged pids without
+            # manifests are still pending and repaired below.
+            from visionsearch_spark.index.spimi import compact_store
+
+            store = compact_store(spark, store.root, n_partitions)
+        else:
+            meta["compacted_pids"] = sorted(store.done_partitions())
+            store.write_meta(meta)
+        meta = store.read_meta()
     delta = pending_rows(
         transcripts.select("conv_id", "turn_idx", "text"), store
     )
