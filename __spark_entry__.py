@@ -165,10 +165,12 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup; the shuffle key is sha2(text) so the
+    exchange carries 32-byte digests, never the corpus bytes."""
+    from visionsearch_spark.operators.dedup import exact_dedup
+
     docs = spark.read.parquet(_p(sf_dir, "documents"))
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keep_id", "n_copies")
+    return exact_dedup(docs)
 
 
 def _threshold_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,7 +853,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["dedup_exact"] = """
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY text
+        FROM documents GROUP BY sha256(text)
     """
     sql["threshold_topk_events"] = f"""
         SELECT event_id, value FROM events
@@ -931,7 +933,7 @@ WHERE ({FP_MULT}::BIGINT * doc_id + 12345) % {FP_PRIME} < {int(FP_PRIME * 0.1)}
 """
     sql["training_set_filter"] = f"""
 WITH lang AS ({_lang_id_oracle()}), qual AS ({_quality_oracle()}),
-keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
 SELECT q.doc_id, l.pred_lang, q.n_tokens, round(q.quality, 6) AS quality
 FROM qual q JOIN lang l USING(doc_id) JOIN keep USING(doc_id)
 WHERE l.pred_lang IN ('en') AND q.quality >= 0.6

@@ -130,3 +130,66 @@ def test_upload_rejects_garbage(served):
         except urllib.error.HTTPError as e:
             status = e.code
         assert status == 400, payload
+
+
+def test_upload_rejects_oversized_body_with_413(served):
+    """The reference caps uploads at 10 MB (ollama_api.py:293-316); the
+    cap must trigger BEFORE the body is read or spooled."""
+    url, _searcher, spool, *_ = served
+    before = set(os.listdir(spool)) if os.path.isdir(spool) else set()
+    big = json.dumps([{"conv_id": "big", "turn_idx": 1,
+                       "text": "x" * (11 * 1024 * 1024)}]).encode()
+    req = urllib.request.Request(
+        f"{url}/upload", data=big,
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+        assert json.loads(e.read())["error"] == "payload too large"
+    except (urllib.error.URLError, ConnectionError, BrokenPipeError):
+        # server closed the socket before consuming the body — the client
+        # may see a reset instead of the 413; nothing spooled is what counts
+        status = 413
+    assert status == 413
+    after = set(os.listdir(spool)) if os.path.isdir(spool) else set()
+    assert after == before  # nothing spooled
+
+
+def test_upload_preserves_client_ts(served, tmp_path_factory):
+    """A client-supplied ISO-8601 ts must land in the staged schema (it
+    was silently dropped to NULL before); malformed ts -> 400."""
+    import pyarrow.parquet as pq
+
+    url, _searcher, spool, *_ = served
+    rows = [
+        {"conv_id": "ts-conv", "turn_idx": 1, "text": "stamped turn",
+         "ts": "2024-06-01T12:34:56.789Z"},
+        {"conv_id": "ts-conv", "turn_idx": 2, "text": "unstamped turn"},
+    ]
+    req = urllib.request.Request(
+        f"{url}/upload", data=json.dumps(rows).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = json.loads(r.read())
+    assert body["rows"] == 2
+    tbl = pq.read_table(os.path.join(spool, body["spooled"]))
+    got = {t: ts for t, ts in zip(tbl.column("turn_idx").to_pylist(),
+                                  tbl.column("ts").to_pylist())}
+    assert got[1] is not None and got[1].isoformat().startswith("2024-06-01T12:34:56.789")
+    assert got[2] is None
+
+    bad = [{"conv_id": "c", "turn_idx": 1, "text": "t", "ts": "not-a-date"}]
+    req = urllib.request.Request(
+        f"{url}/upload", data=json.dumps(bad).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400

@@ -46,9 +46,14 @@ SIMHASH_BITS_PER_HASH = 16
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep-first exact dedup (group on raw text). Plain hash-groupBy:
-    partial aggregation map-side, one shuffle on the text hash."""
-    return docs.groupBy(text_col).agg(
+    """Keep-first exact dedup. Groups on sha2(text, 256), not the raw
+    text: partial aggregation already collapses duplicates map-side, but
+    the exchange KEY would still be the full document bytes — grouping on
+    the 32-byte digest makes the shuffle carry (digest, id, count) only,
+    ~content-size-independent at corpus scale. Collision risk is the
+    SHA-256 birthday bound (~2^-128 at 10^12 docs) — treated as exact;
+    the DuckDB oracle groups on the same digest."""
+    return docs.groupBy(F.sha2(F.col(text_col), 256).alias("_h")).agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     ).select("keep_id", "n_copies")
 

@@ -35,6 +35,25 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 UPLOAD_SCHEMA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
+# Upload body cap, mirroring the reference's 10 MB rejection
+# (`/root/reference/visionsearch/api/routers/ollama/queries/ollama_api.py:293-316`):
+# without it one request buffers unbounded bytes in the serving process.
+DEFAULT_MAX_UPLOAD_MB = 10
+
+
+def _parse_ts(v):
+    """Client-supplied ISO-8601 timestamp -> µs-precision datetime (the
+    staged schema carries ts); None/empty stays None, malformed raises
+    ValueError (rejected as 400 by the handler)."""
+    if v is None or v == "":
+        return None
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if dt.tzinfo is not None:  # store naive UTC (parquet timestamp[us])
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
 
 def spool_upload(rows: list[dict], spool_dir: str, seq: int) -> str:
     """Write one upload batch as an atomically-published parquet file the
@@ -51,7 +70,7 @@ def spool_upload(rows: list[dict], spool_dir: str, seq: int) -> str:
         cols["role"].append(str(r.get("role", "user")))
         cols["text"].append(str(r.get("text", "")))
         cols["tool"].append(str(r.get("tool", "")))
-        cols["ts"].append(None)
+        cols["ts"].append(_parse_ts(r.get("ts")))
     tbl = pa.table(
         {
             "conv_id": pa.array(cols["conv_id"], pa.string()),
@@ -73,10 +92,12 @@ class ServingApp:
     """Wires a LocalSearcher + spool dir + optional static dir into a
     ThreadingHTTPServer. Pass port=0 for an ephemeral port (tests)."""
 
-    def __init__(self, searcher, spool_dir: str, static_dir: str | None = None):
+    def __init__(self, searcher, spool_dir: str, static_dir: str | None = None,
+                 max_upload_mb: int = DEFAULT_MAX_UPLOAD_MB):
         self.searcher = searcher
         self.spool_dir = spool_dir
         self.static_dir = os.path.realpath(static_dir) if static_dir else None
+        self.max_upload_bytes = int(max_upload_mb * 1024 * 1024)
         self._seq = 0
         self._seq_lock = threading.Lock()
 
@@ -151,6 +172,14 @@ class ServingApp:
                     self._json(404, {"error": "not found"})
                     return
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > app.max_upload_bytes:
+                    # reject BEFORE reading the body — nothing buffers,
+                    # nothing spools (reference: 10 MB cap, 413)
+                    self._json(413, {
+                        "error": "payload too large",
+                        "max_bytes": app.max_upload_bytes,
+                    })
+                    return
                 try:
                     rows = json.loads(self.rfile.read(n) or b"[]")
                     if not isinstance(rows, list) or not rows:
