@@ -367,6 +367,25 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RECALL_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_RECALL_K = 20
+
+
+def _ann_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+corpus) the persisted LSH signature sidecar."""
+    import hashlib
+    import tempfile
+
+    from visionsearch_spark.operators.similarity import SIG_META, build_ann_index
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    key = hashlib.sha1(f"ann-v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_ann_{key}")
+    if not os.path.exists(os.path.join(root, SIG_META)):
+        build_ann_index(emb, root, n_planes=16, seed=7)
+    return root
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN over the PERSISTED signature sidecar (built once per
     corpus): the plan prunes on the stored sig column — no per-row
@@ -374,24 +393,27 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     given the seeded hyperplanes; the DuckDB twin (_ann_lsh_oracle)
     replicates the identical sign-bit / Hamming-prune / exact-cosine
     arithmetic from a hyperplane VALUES table, so this IS value-checked."""
-    import hashlib
-    import tempfile
-
-    from visionsearch_spark.operators.similarity import (
-        SIG_META,
-        build_ann_index,
-        cosine_topk_lsh_indexed,
-    )
+    from visionsearch_spark.operators.similarity import cosine_topk_lsh_indexed
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    key = hashlib.sha1(f"ann-v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"vss_ann_{key}")
-    if not os.path.exists(os.path.join(root, SIG_META)):
-        build_ann_index(emb, root, n_planes=16, seed=7)
+    root = _ann_root(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
         .limit(1).collect()[0][0]
     return cosine_topk_lsh_indexed(emb, root, list(qvec), k=20, max_hamming=6) \
         .select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval aggregation (A6): recall@20 of the ANN path vs the exact
+    scorer over a fixed query set — the reference's zeroshot_retrieval
+    harness shape, value-checked against a DuckDB twin that replays both
+    sides in SQL."""
+    from visionsearch_spark.operators.similarity import ann_recall_at_k
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    root = _ann_root(spark, sf_dir)
+    return ann_recall_at_k(emb, root, ANN_RECALL_QUERY_IDS,
+                           k=ANN_RECALL_K, max_hamming=6)
 
 
 def _tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "revenue_by_nation": _revenue_by_nation,
             "embedding_neardup": _embedding_neardup,
             "ann_lsh_topk": _ann_lsh_topk,
+            "ann_recall_at_k": _ann_recall_at_k,
             "tumbling_window_events": _tumbling_window_events,
             "topk_per_group": _topk_per_group,
         }
@@ -682,12 +705,14 @@ GROUP BY pos.doc_id
 
 
 def _ann_lsh_oracle(k: int = 20, n_planes: int = 16, max_hamming: int = 6,
-                    dim: int = 64, seed: int = 7) -> str:
+                    dim: int = 64, seed: int = 7, qid: int = 0,
+                    ids_only: bool = False) -> str:
     """DuckDB twin of similarity.cosine_topk_lsh: the seeded hyperplanes
     are emitted as a VALUES table (full-precision repr round-trips the
     float64 coefficients), sign bits / Hamming prune / exact cosine are
     replicated in SQL. dim=64 matches the fixture embeddings at every sf
-    (the Spark side derives it from the query vector)."""
+    (the Spark side derives it from the query vector). qid picks the
+    query vector; ids_only projects just vec_id (for recall INTERSECTs)."""
     from visionsearch_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -696,15 +721,16 @@ def _ann_lsh_oracle(k: int = 20, n_planes: int = 16, max_hamming: int = 6,
         + "]::DOUBLE[])"
         for i, plane in enumerate(planes)
     )
+    proj = "vec_id" if ids_only else "vec_id, round(cos, 6) AS cos"
     return f"""
 WITH planes(p, coefs) AS (VALUES {rows}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
 bits AS (
   SELECT e.vec_id, p.p, (list_inner_product(e.v, p.coefs) >= 0) AS bit
   FROM e CROSS JOIN planes p
 ),
-qbits AS (SELECT p, bit FROM bits WHERE vec_id = 0),
+qbits AS (SELECT p, bit FROM bits WHERE vec_id = {qid}),
 ham AS (
   SELECT b.vec_id, sum(CASE WHEN b.bit <> qb.bit THEN 1 ELSE 0 END) AS ham
   FROM bits b JOIN qbits qb USING(p) GROUP BY b.vec_id
@@ -713,9 +739,40 @@ scored AS (
   SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT qv FROM q)) AS cos
   FROM e JOIN ham USING(vec_id) WHERE ham.ham <= {max_hamming}
 )
-SELECT vec_id, round(cos, 6) AS cos FROM scored
+SELECT {proj} FROM scored
 ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
+
+
+def _exact_topk_oracle(k: int, qid: int) -> str:
+    """Exact cosine top-k ids for one query vector (recall denominator)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM q)) AS cos FROM e
+)
+SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _ann_recall_oracle(qids: list[int], k: int, n_planes: int = 16,
+                       max_hamming: int = 6) -> str:
+    """Per-query recall@k = |approx ∩ exact| / k, both sides replayed in
+    SQL (nested-WITH subqueries under INTERSECT — fine in DuckDB 1.0)."""
+    blocks = [
+        f"""
+SELECT {qid}::BIGINT AS query_vec_id,
+       round(count(*) * 1.0 / {k}, 6) AS recall
+FROM (
+  ({_ann_lsh_oracle(k=k, n_planes=n_planes, max_hamming=max_hamming,
+                    qid=qid, ids_only=True)})
+  INTERSECT
+  ({_exact_topk_oracle(k, qid)})
+)"""
+        for qid in qids
+    ]
+    return " UNION ALL ".join(blocks)
 
 def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
                  doc_pred: str | None = None) -> str:
@@ -985,4 +1042,7 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
         ) WHERE rnk <= 3
     """
     sql["ann_lsh_topk"] = _ann_lsh_oracle(k=20, n_planes=16, max_hamming=6)
+    sql["ann_recall_at_k"] = _ann_recall_oracle(
+        ANN_RECALL_QUERY_IDS, ANN_RECALL_K, n_planes=16, max_hamming=6
+    )
     return sql

@@ -19,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from visionsearch_spark.index.store import IndexStore
-from visionsearch_spark.query.serving import LocalSearcher
+from visionsearch_spark.query.serving import LocalSearcher, ShardedSearcher
 from visionsearch_spark.sources.http_api import ServingApp
 
 
@@ -29,9 +29,14 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--spool", default=None)
     ap.add_argument("--static", default=None)
+    ap.add_argument("--shard-groups", type=int, default=1,
+                    help="scatter-gather over N per-shard-group searchers "
+                         "(1 = single full-index searcher); rank-identical "
+                         "either way")
     args = ap.parse_args()
     store = IndexStore(args.root)
-    searcher = LocalSearcher(store)
+    searcher = (ShardedSearcher(store, n_groups=args.shard_groups)
+                if args.shard_groups > 1 else LocalSearcher(store))
     spool = args.spool or os.path.join(args.root, "spool")
     app = ServingApp(searcher, spool_dir=spool, static_dir=args.static)
     srv = app.make_server(port=args.port)

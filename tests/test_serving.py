@@ -9,15 +9,19 @@ import time
 import pytest
 
 from visionsearch_spark.index.spimi import build_index
-from visionsearch_spark.query.serving import LocalSearcher
+from visionsearch_spark.query.serving import LocalSearcher, ShardedSearcher
 from visionsearch_spark.oracle import oracle_search
 
 
 @pytest.fixture(scope="module")
-def searcher(spark, transcripts, tmp_path_factory):
+def serving_store(spark, transcripts, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("idx_serving"))
-    store = build_index(transcripts, root, n_partitions=8, n_shards=16)
-    return LocalSearcher(store)
+    return build_index(transcripts, root, n_partitions=8, n_shards=16)
+
+
+@pytest.fixture(scope="module")
+def searcher(serving_store):
+    return LocalSearcher(serving_store)
 
 
 def test_rank_identity_full_query_set(searcher, oracle_index, query_set):
@@ -57,3 +61,50 @@ def test_serving_latency_is_milliseconds(searcher):
         searcher.search("join filter stream", k=10)
     per_query = (time.perf_counter() - t0) / n
     assert per_query < 0.05, f"serving path too slow: {per_query * 1000:.1f} ms"
+
+
+def test_sharded_router_rank_identity(serving_store, searcher, query_set):
+    """4-group scatter-gather == single full searcher on the full query
+    set (turn-level and conv-collapsed), exact scores included — the
+    router must fetch GLOBAL df for idf, not each group's local df."""
+    router = ShardedSearcher(serving_store, n_groups=4)
+    assert sum(s.n_docs == searcher.n_docs for s in router.searchers) == 4
+    for row in query_set.itertuples(index=False):
+        exp = searcher.search(row.query_text, k=row.k)
+        got = router.search(row.query_text, k=row.k)
+        assert [g[:3] for g in got] == [e[:3] for e in exp], row.query_text
+        for g, e in zip(got, exp):
+            assert math.isclose(g[3], e[3], rel_tol=1e-12)
+        exp_d = searcher.search_docs(row.query_text, k=row.k)
+        got_d = router.search_docs(row.query_text, k=row.k)
+        assert got_d == exp_d or (
+            [(c, round(s, 12)) for _d, c, s in got_d]
+            == [(c, round(s, 12)) for _d, c, s in exp_d]
+        ), row.query_text
+
+
+def test_sharded_router_on_appended_store(spark, transcripts_pdf,
+                                          tmp_path_factory):
+    """Router over a multi-dir (appended) store: conv ranking and scores
+    identical to the single searcher; turn-level identity is full-tuple
+    (docid tie-break is globally consistent)."""
+    from visionsearch_spark.fixtures import TRANSCRIPTS_SCHEMA
+    from visionsearch_spark.streaming.incremental import incremental_build
+
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    first = transcripts_pdf[transcripts_pdf["conv_id"].isin(convs[:50])]
+    root = str(tmp_path_factory.mktemp("idx_router_app"))
+    incremental_build(
+        spark.createDataFrame(first, schema=TRANSCRIPTS_SCHEMA), root,
+        n_partitions=4)
+    store = incremental_build(
+        spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    assert len(store.segment_paths()) == 2
+    single = LocalSearcher(store)
+    router = ShardedSearcher(store, n_groups=3)
+    for q, k in [("join filter stream", 10), ("window", 8), ("customer", 5)]:
+        assert router.search(q, k=k) == single.search(q, k=k), q
+        got_d = router.search_docs(q, k=k)
+        exp_d = single.search_docs(q, k=k)
+        assert [(c, s) for _d, c, s in got_d] == [(c, s) for _d, c, s in exp_d], q

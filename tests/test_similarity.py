@@ -97,3 +97,33 @@ def test_indexed_ann_matches_on_the_fly(spark, emb, tmp_path_factory):
     # bytes of pruned rows are never read
     assert "bit_count" in plan
     assert "ReadSchema: struct<id:bigint,sig:bigint>" in plan
+
+
+def test_ann_recall_at_k_operator(spark, emb, tmp_path_factory):
+    """ann_recall_at_k: manual per-query recall reproduced; with
+    max_hamming = n_planes (no pruning) recall is exactly 1.0."""
+    from visionsearch_spark.operators.similarity import (
+        ann_recall_at_k,
+        build_ann_index,
+        cosine_topk_lsh_indexed,
+    )
+
+    root = str(tmp_path_factory.mktemp("ann_recall_idx"))
+    build_ann_index(emb, root, n_planes=16, seed=7)
+    qids = [0, 1, 2]
+    got = {r["query_vec_id"]: r["recall"]
+           for r in ann_recall_at_k(emb, root, qids, k=10,
+                                    max_hamming=6).collect()}
+    assert set(got) == set(qids)
+    for qid in qids:
+        qvec = list(emb.filter(F.col("vec_id") == qid).select("embedding")
+                    .limit(1).collect()[0][0])
+        exact = {r["vec_id"] for r in
+                 cosine_topk_to_query(emb, qvec, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  cosine_topk_lsh_indexed(emb, root, qvec, k=10,
+                                          max_hamming=6).collect()}
+        assert got[qid] == round(len(exact & approx) / 10.0, 6), qid
+    # no pruning (max_hamming = n_planes) => approx == exact => recall 1.0
+    full = ann_recall_at_k(emb, root, qids, k=10, max_hamming=16).collect()
+    assert all(r["recall"] == 1.0 for r in full)

@@ -220,6 +220,57 @@ def cosine_topk_lsh_indexed(
     )
 
 
+def ann_recall_at_k(
+    emb: DataFrame,
+    root: str,
+    query_ids: list[int],
+    k: int = 20,
+    max_hamming: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the LSH-indexed ANN path vs the exact scorer, per
+    query — the eval aggregation (A6) mirroring the reference's one
+    rigorous harness (`perception_models/.../zeroshot_retrieval.py:160-183`,
+    batched recall@k over the exact score matrix).
+
+    Per query: |approx_topk ∩ exact_topk| / k. The query vectors (a
+    bounded eval set) are fetched driver-side; each top-k is a k-row
+    result, and the intersection/recall is one join+agg over ≤ |Q|·k
+    rows — nothing unbounded leaves the executors. Returns
+    (query_vec_id long, recall double)."""
+    spark = emb.sparkSession
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col).collect()
+    )
+    qvecs = {int(r[0]): [float(x) for x in r[1]] for r in qrows}
+    approx = exact = None
+    for qid in query_ids:
+        a = cosine_topk_lsh_indexed(
+            emb, root, qvecs[qid], k=k, max_hamming=max_hamming,
+            vec_col=vec_col, id_col=id_col,
+        ).select(F.lit(qid).cast("long").alias("query_vec_id"), id_col)
+        e = cosine_topk_to_query(
+            emb, qvecs[qid], k=k, vec_col=vec_col, id_col=id_col,
+        ).select(F.lit(qid).cast("long").alias("query_vec_id"), id_col)
+        approx = a if approx is None else approx.unionByName(a)
+        exact = e if exact is None else exact.unionByName(e)
+    hits = (
+        approx.join(exact, ["query_vec_id", id_col])
+        .groupBy("query_vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in query_ids], "query_vec_id long"
+    )
+    return qdf.join(hits, "query_vec_id", "left").select(
+        "query_vec_id",
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 6)
+        .alias("recall"),
+    )
+
+
 def pairwise_neardup(
     emb: DataFrame,
     tau: float = 0.95,

@@ -102,7 +102,8 @@ class LocalSearcher:
         idxs = self._blocks.get(term)
         return 0 if idxs is None else int(sum(self._ns[i] for i in idxs))
 
-    def search_docs(self, query: str, k: int = 5, threshold: float = 0.0
+    def search_docs(self, query: str, k: int = 5, threshold: float = 0.0,
+                    term_weights: dict[str, float] | None = None
                     ) -> list[tuple[int, str, float]]:
         """Doc-level top-k over a UNIT store: per-unit scores collapse to
         per-document max (units.py semantics, served in-memory). Bounds
@@ -116,7 +117,7 @@ class LocalSearcher:
                 return []
             change = np.flatnonzero(conv[1:] != conv[:-1]) + 1
             self._bounds = np.concatenate(([0], change)).astype(np.int64)
-        units = self._scored(query, threshold)
+        units = self._scored(query, threshold, term_weights)
         if units is None or units[0].size == 0:
             return []
         uniq, sums = units
@@ -153,10 +154,17 @@ class LocalSearcher:
             for i in sel
         ]
 
-    def _scored(self, query: str, threshold: float
+    def _scored(self, query: str, threshold: float,
+                term_weights: dict[str, float] | None = None
                 ) -> tuple[np.ndarray, np.ndarray] | None:
         """All (docid, score) above threshold — canonical (docid,
-        term-rank) accumulation order; None when every term is OOV."""
+        term-rank) accumulation order; None when every term is OOV.
+
+        term_weights: precomputed per-term idf. REQUIRED when this
+        searcher holds a shard subset: its local posting count is not the
+        corpus df, so the router (ShardedSearcher) computes global df
+        across groups and passes the weights down. A full-index searcher
+        derives the identical weights locally (local df == global df)."""
         qterms = sorted(set(tokenize(query)))
         present = [t for t in qterms if t in self._blocks]
         if not present:
@@ -164,7 +172,8 @@ class LocalSearcher:
         cat_d, cat_c = [], []
         for t in present:  # sorted unique terms = canonical rank order
             d, tfw = self._get_postings(t)
-            w = idf_fn(self.n_docs, d.size)
+            w = (term_weights[t] if term_weights is not None
+                 else idf_fn(self.n_docs, d.size))
             cat_d.append(d)
             cat_c.append(w * tfw)
         d = np.concatenate(cat_d)
@@ -194,12 +203,13 @@ class LocalSearcher:
             sel = np.lexsort((uniq, -sums))
         return uniq[sel], sums[sel]
 
-    def search(self, query: str, k: int = 5, threshold: float = 0.0
+    def search(self, query: str, k: int = 5, threshold: float = 0.0,
+               term_weights: dict[str, float] | None = None
                ) -> list[tuple[int, str, int, float]]:
         """[(docid, conv_id, turn_idx, score)] — rank-identical with the
         oracle: canonical (docid, term-rank) accumulation order, (score
         desc, docid asc) tie-break, OOV -> [] (never padded hits)."""
-        scored = self._scored(query, threshold)
+        scored = self._scored(query, threshold, term_weights)
         if scored is None:
             return []
         uniq, sums = self._select_topk(*scored, k)
@@ -207,3 +217,84 @@ class LocalSearcher:
             (int(d), str(self._conv[d]), int(self._turn[d]), float(s))
             for d, s in zip(uniq, sums)
         ]
+
+
+class ShardedSearcher:
+    """Scatter-gather router over per-shard-group LocalSearchers — the
+    deployment story at 10^12-turn scale, where one process cannot hold
+    the index: shards (docid ranges) are partitioned into n_groups, each
+    group loads only its slice of the segments (`LocalSearcher(shards=)`),
+    and a query fans out to every group and heap-merges with the frozen
+    tie-break. The reference runs a single serving worker holding the
+    whole FAISS index (`supervisord.conf [program:app]`,
+    `aisearch/main.py:26-36`) — this router is the horizontal version.
+
+    Correctness invariants:
+      * idf uses GLOBAL df: the router sums per-group df (cheap — block
+        metadata) and passes explicit term weights down; a group's local
+        posting count is not the corpus df.
+      * each docid's postings live in exactly one group (shard = docid
+        range), so per-group scores are final — the merge never re-sums.
+      * global top-k ⊆ union of per-group top-k (scores are doc-local),
+        so gathering k per group is lossless; merge re-sorts by the same
+        (score desc, key asc) order the single searcher uses.
+    Rank-identity with a single full searcher is pinned by
+    tests/test_serving.py."""
+
+    def __init__(self, store: IndexStore, n_groups: int = 4):
+        meta = store.read_meta()
+        self.n_docs = int(meta["n_docs"])
+        self.avgdl = float(meta["avgdl"])
+        shard_range = int(meta["shard_range"])
+        max_shard = max(0, (self.n_docs - 1) // shard_range)
+        groups: list[list[int]] = [
+            list(range(g, max_shard + 1, n_groups))
+            for g in range(min(n_groups, max_shard + 1))
+        ]
+        self.searchers = [LocalSearcher(store, shards=g) for g in groups]
+
+    def df(self, term: str) -> int:
+        return sum(s.df(term) for s in self.searchers)
+
+    def _weights(self, query: str) -> dict[str, float]:
+        qterms = sorted(set(tokenize(query)))
+        out = {}
+        for t in qterms:
+            d = self.df(t)
+            if d > 0:
+                out[t] = idf_fn(self.n_docs, d)
+        return out
+
+    def search(self, query: str, k: int = 5, threshold: float = 0.0
+               ) -> list[tuple[int, str, int, float]]:
+        w = self._weights(query)
+        if not w:
+            return []
+        hits = [
+            h for s in self.searchers
+            for h in s.search(query, k=k, threshold=threshold, term_weights=w)
+        ]
+        hits.sort(key=lambda h: (-h[3], h[0]))  # score desc, docid asc
+        return hits[:k]
+
+    def search_docs(self, query: str, k: int = 5, threshold: float = 0.0
+                    ) -> list[tuple[int, str, float]]:
+        """Doc-level (conv-collapsed) scatter-gather: a parent's units can
+        span shard groups, so per-group partial maxes re-merge by conv —
+        score = max across groups, representative docid = min run-start
+        (the same representative the single searcher picks)."""
+        w = self._weights(query)
+        if not w:
+            return []
+        best: dict[str, tuple[int, float]] = {}
+        for s in self.searchers:
+            for d, c, sc in s.search_docs(query, k=k, threshold=threshold,
+                                          term_weights=w):
+                cur = best.get(c)
+                if cur is None:
+                    best[c] = (d, sc)
+                else:
+                    best[c] = (min(cur[0], d), max(cur[1], sc))
+        out = [(d, c, sc) for c, (d, sc) in best.items()]
+        out.sort(key=lambda h: (-h[2], h[1]))  # score desc, conv asc
+        return out[:k]
