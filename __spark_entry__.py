@@ -138,6 +138,24 @@ def _bm25_unit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIELDED_QUERY = ("join filter stream", 20)
+
+
+def _bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F-lite: docs ranked by weighted sum of per-field BM25 (title
+    2x, body 1x) over a field-unit store — the reference's caption/main
+    text duality (aisearch/core.py:82-111) with field weights."""
+    from visionsearch_spark.corpus import get_documents_field_index
+    from visionsearch_spark.query.fielded import fielded_topk
+
+    qtext, k = FIELDED_QUERY
+    store = get_documents_field_index(spark, sf_dir)
+    res = fielded_topk(spark, store, qtext, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.analyzer import tokens_col
 
@@ -457,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_batch": _bm25_batch,
             "bm25_filtered": _bm25_filtered,
             "bm25_unit_topk": _bm25_unit_topk,
+            "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
             "term_df_top": _term_df_top,
             "corpus_stats": _corpus_stats,
@@ -884,6 +903,68 @@ SELECT doc_id, round(score, 6) AS score FROM ranked WHERE rnk <= {k}
 """
 
 
+def _fielded_bm25_oracle(qtext: str, k: int) -> str:
+    """DuckDB twin of fielded.fielded_topk over the title/body field
+    units (corpus.documents_as_field_transcripts): per-field BM25 under
+    unit-level stats, weighted sum (title 2x, body 1x), top-k by
+    (score desc, doc_id asc)."""
+    from visionsearch_spark.analyzer import SENT_SPLIT_RE_STR
+    from visionsearch_spark.query.fielded import FIELD_WEIGHTS
+
+    terms = sorted(set(tokenize(qtext)))
+    qrows = ", ".join(f"('{t}')" for t in terms)
+    toks_part = duckdb_tokens("part")
+    wcase = ("CASE fid " + " ".join(
+        f"WHEN {fid} THEN {w!r}" for fid, w in sorted(FIELD_WEIGHTS.items())
+    ) + " END")
+    return f"""
+WITH q(term) AS (VALUES {qrows}),
+p0 AS (
+  SELECT doc_id, regexp_split_to_array(text, '{SENT_SPLIT_RE_STR}') AS pa
+  FROM documents
+),
+fields AS (
+  SELECT doc_id, 1 AS fid, pa[1] AS part FROM p0
+  UNION ALL
+  SELECT doc_id, 2 AS fid, array_to_string(pa[2:], ' ') AS part FROM p0
+),
+units AS (
+  SELECT doc_id, fid, {toks_part} AS tk FROM fields
+  WHERE len({toks_part}) > 0
+),
+stats AS (
+  SELECT (SELECT count(*) FROM units) AS n_units,
+         (SELECT avg(len(tk)) FROM units) AS avgdl
+),
+toks AS (SELECT doc_id, fid, unnest(tk) AS term FROM units),
+dl AS (SELECT doc_id, fid, count(*) AS dl FROM toks GROUP BY 1, 2),
+tf AS (
+  SELECT doc_id, fid, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.fid,
+         sum( ln(1.0 + (s.n_units - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.fid = tf.fid
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.fid
+),
+weighted AS (
+  SELECT doc_id, sum(({wcase}) * score) AS score
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM weighted
+)
+SELECT doc_id, round(score, 6) AS score FROM ranked WHERE rnk <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = duckdb_tokens("text")
     sql: dict[str, str] = {
@@ -896,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         doc_pred=f"source LIKE '{FILTERED_QUERY[2]}%'",
     )
     sql["bm25_unit_topk"] = _unit_bm25_oracle(*UNIT_QUERY)
+    sql["bm25_fielded"] = _fielded_bm25_oracle(*FIELDED_QUERY)
     sql["token_count"] = f"SELECT doc_id, len({toks}) AS n_tokens FROM documents"
     sql["term_df_top"] = f"""
         WITH tf AS (

@@ -38,17 +38,25 @@ def test_band_signatures_match_numpy(spark, emb):
         assert list(r["b"]) == list(expected[i]), f"vec {r['vec_id']}"
 
 
-def test_neardup_banded_complete_vs_exact(spark, emb):
+@pytest.mark.parametrize("sf_dir", [
+    "/root/testdata/sf0.001",  # driver smoke fixture
+    "/root/testdata/sf0.01",   # driver correctness fixture
+])
+def test_neardup_banded_complete_vs_exact(spark, sf_dir):
     """The contract config (32 planes, 16 bands) must produce EXACTLY the
-    all-pairs result at the contract threshold — candidate-set
-    completeness on the deterministic fixture."""
+    all-pairs result at the contract threshold, on EVERY fixture the
+    driver value-checks: per-pair LSH miss probability near tau=0.4 is
+    ~3e-4, so completeness is an empirical property of these fixtures —
+    this is the canary that fires BEFORE a regenerated/rescaled fixture
+    silently fails the embedding_neardup contract row."""
+    emb_sf = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in pairwise_neardup(emb, tau=0.4, exact=True).collect()
+        for r in pairwise_neardup(emb_sf, tau=0.4, exact=True).collect()
     }
     banded = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in pairwise_neardup(emb, tau=0.4, n_planes=32, n_bands=16).collect()
+        for r in pairwise_neardup(emb_sf, tau=0.4, n_planes=32, n_bands=16).collect()
     }
     assert set(banded) == set(exact)
     for k, v in exact.items():

@@ -198,3 +198,38 @@ def test_unit_collapse_after_append_split_parent(spark, tmp_path_factory):
     assert [c for _d, c, _s in served] == [c for c, _s in exp]
     for (_d, _c, s), (_c2, s2) in zip(served, exp):
         assert math.isclose(s, s2, rel_tol=1e-9)
+
+
+def test_carry_bounds_spark_path_matches_driver_loop(spark, unit_store,
+                                                     monkeypatch):
+    """The distributed carry (forced by shrinking the driver threshold)
+    must emit the identical (shard, carried docid) sideband set as the
+    driver loop, and unit collapse stays oracle-exact through it."""
+    import visionsearch_spark.query.wand as wand
+    from visionsearch_spark.index.codec import decode_docids
+    from visionsearch_spark.query.units import doc_bounds
+
+    store, rows = unit_store
+    meta = store.read_meta()
+    bounds = doc_bounds(spark, store)
+
+    def carried_set(df):
+        return {
+            (r["shard"], int(decode_docids(r["docids_bin"], 1)[0]))
+            for r in df.collect()
+        }
+
+    drv = carried_set(wand._carry_bounds_rows(
+        spark, bounds, int(meta["shard_range"]), int(meta["n_docs"])))
+    monkeypatch.setattr(wand, "CARRY_DRIVER_MAX_SHARDS", 0)
+    spk = carried_set(wand._carry_bounds_rows(
+        spark, bounds, int(meta["shard_range"]), int(meta["n_docs"])))
+    assert spk == drv and drv  # identical and non-empty
+
+    # end-to-end through the forced Spark carry
+    query, k = "join filter", 8
+    got = unit_batch_topk(spark, store, [(0, query, k)]).orderBy("rank").collect()
+    exp = _collapsed_oracle(rows, query, k)
+    assert [(r["conv_id"],) for r in got] == [(c,) for c, _s in exp]
+    for r, (_c, s) in zip(got, exp):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)

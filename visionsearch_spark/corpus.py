@@ -82,6 +82,53 @@ def documents_as_unit_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def documents_as_field_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two typed fields per document as units (query/fielded.py BM25F):
+    field 1 = TITLE (first sentence), field 2 = BODY (remaining sentences
+    joined with a space — tokenization is separator-insensitive so the
+    join matches the SQL oracle's array_to_string). Zero-token fields are
+    dropped (a one-sentence doc has no body unit) and excluded from unit
+    corpus stats, like sentence units."""
+    from visionsearch_spark.analyzer import SENT_SPLIT_RE_STR, tokens_col
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pa = F.split(F.col("text"), SENT_SPLIT_RE_STR)
+    fields = F.array(
+        F.struct(F.lit(1).cast("int").alias("turn_idx"),
+                 F.element_at(pa, 1).alias("text")),
+        F.struct(
+            F.lit(2).cast("int").alias("turn_idx"),
+            F.array_join(
+                F.slice(pa, 2, F.greatest(F.size(pa) - 1, F.lit(0))), " "
+            ).alias("text"),
+        ),
+    )
+    rows = docs.select(
+        F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id"),
+        F.explode(fields).alias("f"),
+    ).select("conv_id", "f.turn_idx", "f.text")
+    return rows.filter(F.size(tokens_col("text")) > 0).select(
+        "conv_id", "turn_idx",
+        F.lit("user").alias("role"), "text",
+        F.lit("").alias("tool"), F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def get_documents_field_index(spark: SparkSession, sf_dir: str,
+                              n_partitions: int = 8) -> IndexStore:
+    """Field-unit index (title/body units per doc) for fielded_topk."""
+    key = hashlib.sha1(
+        f"{CACHE_VERSION}-fields:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_idx_{key}")
+    store = IndexStore(root)
+    if (os.path.exists(store.meta_path)
+            and store.read_meta().get("phase") == "built"):
+        return store
+    tx = documents_as_field_transcripts(spark, sf_dir)
+    return build_index(tx, root, n_partitions=n_partitions)
+
+
 def get_documents_unit_index(spark: SparkSession, sf_dir: str,
                              n_partitions: int = 8) -> IndexStore:
     """Unit-level index (one indexed unit per sentence) + doc_bounds

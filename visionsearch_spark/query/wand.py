@@ -352,22 +352,38 @@ def invalidate_term_df_memo(root: str | None = None) -> None:
             _TERM_DF_MEMO.pop(k, None)
 
 
+# above this shard count the carry forward-fill runs in Spark instead of
+# a driver loop (one python tuple per shard stops being "metadata" at
+# ~10^6+ shards; below it the driver loop avoids two extra tiny jobs)
+CARRY_DRIVER_MAX_SHARDS = 4096
+
+_CARRY_DDL = ("term string, shard long, n int, docids_bin binary, "
+              "tfs_bin binary, dls_bin binary, max_tf int, min_dl int")
+
+
 def _carry_bounds_rows(spark: SparkSession, bounds: DataFrame,
                        shard_range: int, n_docs: int) -> DataFrame:
     """A parent doc's units can straddle a shard edge: the later shard
     holds units whose boundary docid lives in an earlier shard. Forward-
     fill the last boundary per shard and emit it as one extra sideband
-    row per shard. Driver-side state is one int per shard — the same
-    bounded-metadata class as the docid offsets (docid.py)."""
+    row per shard (the carried bound each shard sees from its past).
+
+    Small stores: driver loop over one int per shard (bounded metadata,
+    no extra jobs). Past CARRY_DRIVER_MAX_SHARDS: the same forward-fill
+    as a Spark last-ignorenulls window over the shard sequence — one
+    8-byte row per shard through a single-task sort (64 MB at 8M shards),
+    never an O(n_shards) driver materialization."""
     from visionsearch_spark.index.codec import encode_docids
 
-    per_shard = {
-        int(r["shard"]): int(r["m"])
-        for r in bounds.select("docid")
-        .withColumn("shard", (F.col("docid") / F.lit(shard_range)).cast("long"))
-        .groupBy("shard").agg(F.max("docid").alias("m")).collect()
-    }
     max_shard = max(0, (n_docs - 1) // shard_range)
+    per = (
+        bounds.select("docid")
+        .withColumn("shard", (F.col("docid") / F.lit(shard_range)).cast("long"))
+        .groupBy("shard").agg(F.max("docid").alias("m"))
+    )
+    if max_shard + 1 > CARRY_DRIVER_MAX_SHARDS:
+        return _carry_bounds_spark(spark, per, max_shard)
+    per_shard = {int(r["shard"]): int(r["m"]) for r in per.collect()}
     rows, cur = [], None
     for s in range(max_shard + 1):
         if cur is not None:
@@ -378,9 +394,135 @@ def _carry_bounds_rows(spark: SparkSession, bounds: DataFrame,
             )
         if s in per_shard:
             cur = per_shard[s]
-    ddl = ("term string, shard long, n int, docids_bin binary, "
-           "tfs_bin binary, dls_bin binary, max_tf int, min_dl int")
-    return spark.createDataFrame(rows, ddl)
+    return spark.createDataFrame(rows, _CARRY_DDL)
+
+
+def _carry_bounds_spark(spark: SparkSession, per: DataFrame,
+                        max_shard: int) -> DataFrame:
+    """Distributed carry: shard s carries the max boundary of any shard
+    < s (strictly-preceding window; rows with no predecessor drop out,
+    matching the driver loop's leading-None skip)."""
+    from visionsearch_spark.index.codec import encode_docids
+
+    @F.pandas_udf("binary")
+    def pack_one(v: pd.Series) -> pd.Series:
+        return v.map(
+            lambda x: bytes(encode_docids(np.asarray([x], dtype=np.int64)))
+        )
+
+    shards = spark.range(0, max_shard + 1).select(F.col("id").alias("shard"))
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    carried = (
+        shards.join(per, "shard", "left")
+        .withColumn("cur", F.last("m", ignorenulls=True).over(w))
+        .filter(F.col("cur").isNotNull())
+    )
+    return carried.select(
+        F.lit(BOUNDS_TERM).alias("term"),
+        "shard",
+        F.lit(1).cast("int").alias("n"),
+        pack_one("cur").alias("docids_bin"),
+        F.lit(b"").alias("tfs_bin"),
+        F.lit(b"").alias("dls_bin"),
+        F.lit(0).cast("int").alias("max_tf"),
+        F.lit(0).cast("int").alias("min_dl"),
+    )
+
+
+def _partial_scores(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[tuple[int, str, int]],
+    threshold: float,
+    n_tasks: int | None,
+    docid_filter: DataFrame | None,
+    collapse_bounds: DataFrame | None,
+) -> tuple[DataFrame | None, list]:
+    """Shared plan prefix: query planning (driver-side df lookups), the
+    term-IN-pruned segment scan with sideband rows, the shard-co-located
+    mapInArrow score kernel. Returns (partials, qplans) — partials is
+    (query_id, docid, score), per-partition-cut to each query's k (with
+    boundary ties kept); None when every term is OOV."""
+    meta = store.read_meta()
+    avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
+    shard_range = int(meta["shard_range"])
+    qtoks = {qid: sorted(set(tokenize(text))) for qid, text, _k in queries}
+    all_terms = sorted({t for ts in qtoks.values() for t in ts})
+    if not all_terms or n_docs == 0:
+        return None, []
+    dfs = _lookup_term_dfs(spark, store, all_terms)
+    qplans = []
+    for qid, _text, k in queries:
+        terms = [
+            (t, idf_fn(n_docs, dfs[t]), r)
+            for r, t in enumerate(qtoks[qid])
+            if t in dfs
+        ]
+        if terms:
+            qplans.append((qid, terms, k))
+    if not qplans:
+        return None, []
+    hit_terms = sorted({t for _q, ts, _k in qplans for t, _w, _r in ts})
+
+    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    seg = (
+        spark.read.parquet(*store.segment_paths())
+        .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
+        .select("term", "shard", "n", "docids_bin", "tfs_bin",
+                "dls_bin", "max_tf", "min_dl")
+    )
+    if docid_filter is not None:
+        seg = seg.unionByName(
+            _sideband_rows(docid_filter, shard_range, ALLOW_TERM)
+        )
+    if collapse_bounds is not None:
+        seg = seg.unionByName(
+            _sideband_rows(collapse_bounds, shard_range, BOUNDS_TERM)
+        ).unionByName(
+            _carry_bounds_rows(spark, collapse_bounds, shard_range, n_docs)
+        )
+    seg = seg.repartition(n_tasks, "shard")  # docid-range co-location
+    partials = seg.mapInArrow(
+        _make_score_fn(
+            qplans, avgdl, threshold,
+            has_filter=docid_filter is not None,
+            has_bounds=collapse_bounds is not None,
+        ),
+        "query_id long, docid long, score double",
+    )
+    return partials, qplans
+
+
+# "no cut": larger than any docid count a partition can hold
+UNCUT_K = 1 << 62
+
+
+def unit_scores(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[tuple[int, str]],
+    threshold: float = 0.0,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """ALL (query_id, docid, conv_id, turn_idx, score) above threshold —
+    no k-cut anywhere. The building block for collapses the max-collapse
+    fast path cannot express: a per-partition k-cut is only exact when
+    the doc score is the MAX over its units; a weighted SUM over fields
+    (BM25F, fielded.py) needs every unit score, aggregated downstream."""
+    partials, _qplans = _partial_scores(
+        spark, store, [(qid, text, UNCUT_K) for qid, text in queries],
+        threshold, n_tasks, None, None,
+    )
+    if partials is None:
+        return spark.createDataFrame(
+            [], "query_id long, docid long, conv_id string, "
+                "turn_idx int, score double")
+    docmap = spark.read.parquet(store.docmap_path).select(
+        "docid", "conv_id", "turn_idx"
+    )
+    return partials.join(docmap, "docid").select(
+        "query_id", "docid", "conv_id", "turn_idx", "score"
+    )
 
 
 def batch_topk(
@@ -424,53 +566,12 @@ def batch_topk(
     """
     if driver_merge and collapse_bounds is not None:
         raise ValueError("driver_merge does not support collapse_bounds")
-    meta = store.read_meta()
-    avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
-    shard_range = int(meta["shard_range"])
-    qtoks = {qid: sorted(set(tokenize(text))) for qid, text, _k in queries}
-    all_terms = sorted({t for ts in qtoks.values() for t in ts})
-    if not all_terms or n_docs == 0:
-        return spark.createDataFrame([], RESULT_DDL)
-    dfs = _lookup_term_dfs(spark, store, all_terms)
-    qplans = []
-    for qid, _text, k in queries:
-        terms = [
-            (t, idf_fn(n_docs, dfs[t]), r)
-            for r, t in enumerate(qtoks[qid])
-            if t in dfs
-        ]
-        if terms:
-            qplans.append((qid, terms, k))
-    if not qplans:
-        return spark.createDataFrame([], RESULT_DDL)
-    hit_terms = sorted({t for _q, ts, _k in qplans for t, _w, _r in ts})
-
-    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
-    seg = (
-        spark.read.parquet(*store.segment_paths())
-        .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
-        .select("term", "shard", "n", "docids_bin", "tfs_bin",
-                "dls_bin", "max_tf", "min_dl")
+    partials, qplans = _partial_scores(
+        spark, store, queries, threshold, n_tasks, docid_filter,
+        collapse_bounds,
     )
-    if docid_filter is not None:
-        seg = seg.unionByName(
-            _sideband_rows(docid_filter, shard_range, ALLOW_TERM)
-        )
-    if collapse_bounds is not None:
-        seg = seg.unionByName(
-            _sideband_rows(collapse_bounds, shard_range, BOUNDS_TERM)
-        ).unionByName(
-            _carry_bounds_rows(spark, collapse_bounds, shard_range, n_docs)
-        )
-    seg = seg.repartition(n_tasks, "shard")  # docid-range co-location
-    partials = seg.mapInArrow(
-        _make_score_fn(
-            qplans, avgdl, threshold,
-            has_filter=docid_filter is not None,
-            has_bounds=collapse_bounds is not None,
-        ),
-        "query_id long, docid long, score double",
-    )
+    if partials is None:
+        return spark.createDataFrame([], RESULT_DDL)
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
