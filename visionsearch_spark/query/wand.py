@@ -47,6 +47,18 @@ from visionsearch_spark.bm25 import idf as idf_fn
 from visionsearch_spark.index.store import IndexStore
 
 RESULT_DDL = "query_id long, rank int, docid long, conv_id string, turn_idx int, score double"
+RESULT_COLUMNS = ["query_id", "rank", "docid", "conv_id", "turn_idx", "score"]
+
+
+def _local_df(spark: SparkSession, rows: list[tuple], ddl: str,
+              columns: list[str]) -> DataFrame:
+    """Small driver-side rows as an Arrow-backed DataFrame.
+    createDataFrame(list) parallelizes into defaultParallelism slices, so
+    even collecting k rows schedules a 32-task job (~0.35 s at local[32],
+    measured); the pandas/Arrow path ships one batch and schedules one
+    task (~0.05 s) — pure fixed-overhead on the interactive query path."""
+    pdf = pd.DataFrame(rows, columns=columns)
+    return spark.createDataFrame(pdf, ddl)
 
 # Sideband row tags: "\x00" never appears in analyzer output ([0-9a-z]+),
 # so these rows ride the SAME shard shuffle as the postings — each task
@@ -301,6 +313,30 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
     return score
 
 
+# resolved segment-scan DataFrames, keyed (app, root, meta mtime): file
+# listing + footer reads cost ~0.1 s per spark.read.parquet — pure fixed
+# overhead per interactive query. Segment dirs are immutable (LSM), and
+# the meta mtime key ages entries out after an append/compaction flips
+# the live-dir list.
+_SEG_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _segments_df(spark: SparkSession, store: IndexStore) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, store.root,
+           os.path.getmtime(store.meta_path))
+    df = _SEG_DF_CACHE.get(key)
+    if df is None:
+        # drop superseded snapshots of the same root (bounded cache)
+        for k in [k for k in _SEG_DF_CACHE
+                  if k[0] == key[0] and k[1] == key[1]]:
+            _SEG_DF_CACHE.pop(k, None)
+        df = spark.read.parquet(*store.segment_paths())
+        _SEG_DF_CACHE[key] = df
+    return df
+
+
 # per-process memo of term->df lookups, keyed by store root (the executor-
 # side analog is the reference's load-once-at-startup index + model cache,
 # `aisearch/main.py:26-36`, `analyze_image.py:34-44`). Only queried terms
@@ -394,7 +430,11 @@ def _carry_bounds_rows(spark: SparkSession, bounds: DataFrame,
             )
         if s in per_shard:
             cur = per_shard[s]
-    return spark.createDataFrame(rows, _CARRY_DDL)
+    return _local_df(
+        spark, rows, _CARRY_DDL,
+        ["term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin",
+         "max_tf", "min_dl"],
+    )
 
 
 def _carry_bounds_spark(spark: SparkSession, per: DataFrame,
@@ -466,7 +506,7 @@ def _partial_scores(
 
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
     seg = (
-        spark.read.parquet(*store.segment_paths())
+        _segments_df(spark, store)
         .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
         .select("term", "shard", "n", "docids_bin", "tfs_bin",
                 "dls_bin", "max_tf", "min_dl")
@@ -514,9 +554,11 @@ def unit_scores(
         threshold, n_tasks, None, None,
     )
     if partials is None:
-        return spark.createDataFrame(
-            [], "query_id long, docid long, conv_id string, "
-                "turn_idx int, score double")
+        return _local_df(
+            spark, [],
+            "query_id long, docid long, conv_id string, "
+            "turn_idx int, score double",
+            ["query_id", "docid", "conv_id", "turn_idx", "score"])
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
@@ -571,7 +613,7 @@ def batch_topk(
         collapse_bounds,
     )
     if partials is None:
-        return spark.createDataFrame([], RESULT_DDL)
+        return _local_df(spark, [], RESULT_DDL, RESULT_COLUMNS)
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
@@ -594,9 +636,8 @@ def batch_topk(
                 F.col("_first.turn_idx").alias("turn_idx"),
             )
         )
-        kdf = spark.createDataFrame(
-            [(qid, k) for qid, _t, k in qplans], "query_id long, k int"
-        )
+        kdf = _local_df(spark, [(qid, k) for qid, _t, k in qplans],
+                        "query_id long, k int", ["query_id", "k"])
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("conv_id")
         )
@@ -610,7 +651,7 @@ def batch_topk(
     if driver_merge:
         rows = partials.collect()
         if not rows:
-            return spark.createDataFrame([], RESULT_DDL)
+            return _local_df(spark, [], RESULT_DDL, RESULT_COLUMNS)
         kmap = {qid: k for qid, _t, k in qplans}
         # conv lookup BEFORE the final cut: the contract tie-break is
         # (score desc, conv_id, turn_idx), and on an appended store docid
@@ -644,10 +685,9 @@ def batch_topk(
             cand.sort()
             for rank, (ns, c, t, d) in enumerate(cand[: kmap[qid]], start=1):
                 merged.append((qid, rank, d, c, t, -ns))
-        return spark.createDataFrame(merged, RESULT_DDL)
-    kdf = spark.createDataFrame(
-        [(qid, k) for qid, _t, k in qplans], "query_id long, k int"
-    )
+        return _local_df(spark, merged, RESULT_DDL, RESULT_COLUMNS)
+    kdf = _local_df(spark, [(qid, k) for qid, _t, k in qplans],
+                    "query_id long, k int", ["query_id", "k"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
     )
