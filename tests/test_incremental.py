@@ -447,3 +447,23 @@ def test_legacy_store_append_does_not_duplicate_postings(
             (e[1], e[2]) for e in exp], q
         for g, e in zip(got, exp):
             assert math.isclose(g["score"], e[3], rel_tol=1e-9)
+
+
+def test_append_stats_incremental_and_exact(spark, halves, tmp_path_factory):
+    """Happy-path appends update corpus stats from meta + delta (no O(N)
+    staged re-scan); the result must equal a direct recompute over the
+    full staged table, and avgdl must be exactly sum_dl/n_docs."""
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_stats"))
+    incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    store = incremental_build(
+        spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    meta = store.read_meta()
+    truth = spark.read.parquet(store.staged_path).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    assert meta["n_docs"] == int(truth["n"])
+    assert meta["sum_dl"] == int(truth["s"])
+    assert meta["avgdl"] == int(truth["s"]) / int(truth["n"])

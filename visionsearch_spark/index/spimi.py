@@ -279,21 +279,24 @@ def build_index(
         staged = toks.withColumn(
             "pid", (F.col("docid") / F.lit(rows_per_pid)).cast("int")
         )
-        # avgdl observed DURING the staged write — no extra aggregation job
+        # corpus stats observed DURING the staged write — no extra
+        # aggregation job. sum_dl persists in meta so appends can update
+        # stats incrementally (O(delta)) instead of re-scanning staged.
         from pyspark.sql import Observation
 
         obs = Observation("staged_stats")
-        staged.observe(obs, F.avg("dl").alias("avgdl")).write.mode(
+        staged.observe(obs, F.sum("dl").alias("sum_dl")).write.mode(
             "overwrite"
         ).parquet(store.staged_path)
-        avgdl = obs.get["avgdl"] or 0.0
+        sum_dl = int(obs.get["sum_dl"] or 0)
         for cached in cache_handle:  # staged parquet supersedes the cache
             cached.unpersist()
         mark("stage_write")
         store.write_meta(
             {
                 "n_docs": n_docs,
-                "avgdl": avgdl,
+                "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+                "sum_dl": sum_dl,
                 "shard_range": shard_range,
                 "n_partitions": n_partitions,
                 "n_shards": n_shards_eff,

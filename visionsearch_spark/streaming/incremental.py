@@ -115,6 +115,7 @@ def incremental_build(transcripts: DataFrame, root: str,
     delta = pending_rows(
         transcripts.select("conv_id", "turn_idx", "text"), store
     )
+    delta_stats = None
     if delta.isEmpty():
         if not needs_repair:
             return store
@@ -145,11 +146,26 @@ def incremental_build(transcripts: DataFrame, root: str,
         )
         meta["phase"] = "appending"  # intent record BEFORE the append
         store.write_meta(meta)
-        staged.write.mode("append").parquet(store.staged_path)
+        # delta stats observed during the append write: the happy path
+        # updates corpus stats incrementally (meta n_docs/sum_dl + delta)
+        # instead of re-scanning the whole staged table — the one
+        # remaining O(N) step of an append. Repair paths (crash between
+        # this write and the meta flip) full-scan instead: the staged
+        # table stays the source of truth.
+        from pyspark.sql import Observation
+
+        obs = Observation("delta_stats")
+        staged.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).write.mode("append").parquet(store.staged_path)
+        delta_stats = (int(obs.get["n"]), int(obs.get["sum_dl"] or 0))
         for cached in cache_handle:  # staged parquet supersedes the cache
             cached.unpersist()
 
-    store = _finish_append(spark, store, meta, n_partitions)
+    store = _finish_append(
+        spark, store, meta, n_partitions,
+        delta_stats=None if needs_repair else delta_stats,
+    )
     if len(store.read_meta().get("segment_dirs") or []) > max_live_dirs:
         from visionsearch_spark.index.spimi import compact_store
 
@@ -158,18 +174,30 @@ def incremental_build(transcripts: DataFrame, root: str,
 
 
 def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
-                   n_partitions: int) -> IndexStore:
+                   n_partitions: int,
+                   delta_stats: tuple[int, int] | None = None) -> IndexStore:
     """Complete (or repair) an append: SPIMI every staged pid without a
     committed manifest, compact the not-yet-covered fragments into one new
     live dir, flip meta atomically. Idempotent — safe to re-run after any
-    crash."""
+    crash.
+
+    delta_stats = (delta_rows, delta_sum_dl) from the just-committed
+    append write: with it (and a meta that carries sum_dl) corpus stats
+    update incrementally — no O(N) staged re-scan per append. Repair
+    re-runs and legacy metas (no sum_dl) fall back to the full scan; the
+    staged table remains the source of truth either way."""
     from visionsearch_spark.index.spimi import _compact_segments, _make_spimi_fn
 
     sdf = spark.read.parquet(store.staged_path)
-    stats = sdf.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if delta_stats is not None and meta.get("sum_dl") is not None:
+        n_docs = int(meta["n_docs"]) + delta_stats[0]
+        sum_dl = int(meta["sum_dl"]) + delta_stats[1]
+    else:
+        stats = sdf.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     pending = sdf
     done = store.done_partitions()
@@ -219,7 +247,8 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
             # flips old — no reader can still hold them
             "retired_dirs": [],
         })
-    meta.update({"n_docs": n_docs, "avgdl": avgdl, "phase": "built"})
+    meta.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                 "phase": "built"})
     store.write_meta(meta)  # the atomic snapshot flip
     store.gc_dirs()
     from visionsearch_spark.query.wand import invalidate_term_df_memo
