@@ -387,6 +387,9 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_RECALL_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_RECALL_K = 20
+IVF_N_CENTROIDS = 16
+IVF_SEED = 11
+IVF_NPROBE = 4
 
 
 def _ann_root(spark: SparkSession, sf_dir: str) -> str:
@@ -432,6 +435,39 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ann_root(spark, sf_dir)
     return ann_recall_at_k(emb, root, ANN_RECALL_QUERY_IDS,
                            k=ANN_RECALL_K, max_hamming=6)
+
+
+def _ivf_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+corpus) the persisted IVF cell sidecar with
+    the STATIC seeded quantizer — the trained (k-means) quantizer is
+    pytest-covered; the contract row uses the static one because k-means
+    cannot be replayed in static oracle SQL."""
+    import hashlib
+    import tempfile
+
+    from visionsearch_spark.operators.similarity import IVF_META, build_ivf_index
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    key = hashlib.sha1(f"ivf-v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_ivf_{key}")
+    if not os.path.exists(os.path.join(root, IVF_META)):
+        build_ivf_index(emb, root, n_centroids=IVF_N_CENTROIDS, seed=IVF_SEED)
+    return root
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the persisted cell sidecar: top-nprobe centroid cells
+    by query dot product, exact cosine on survivors only. The DuckDB twin
+    (_ann_ivf_oracle) replays assignment + probe + scoring from a centroid
+    VALUES table — value-checked."""
+    from visionsearch_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    root = _ivf_root(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding") \
+        .limit(1).collect()[0][0]
+    return cosine_topk_ivf(emb, root, list(qvec), k=20, nprobe=IVF_NPROBE) \
+        .select("vec_id", F.round("cos", 6).alias("cos"))
 
 
 def _tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "revenue_by_nation": _revenue_by_nation,
             "embedding_neardup": _embedding_neardup,
             "ann_lsh_topk": _ann_lsh_topk,
+            "ann_ivf_topk": _ann_ivf_topk,
             "ann_recall_at_k": _ann_recall_at_k,
             "tumbling_window_events": _tumbling_window_events,
             "topk_per_group": _topk_per_group,
@@ -759,6 +796,54 @@ scored AS (
   FROM e JOIN ham USING(vec_id) WHERE ham.ham <= {max_hamming}
 )
 SELECT {proj} FROM scored
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _ann_ivf_oracle(k: int = 20, n_centroids: int = 16, nprobe: int = 4,
+                    dim: int = 64, seed: int = 11, qid: int = 0) -> str:
+    """DuckDB twin of similarity.cosine_topk_ivf with the static seeded
+    quantizer: centroids as a VALUES table (repr round-trips float64),
+    assignment = argmax inner product with ties to the lowest centroid id
+    (row_number ORDER BY d DESC, cid ASC), probe set = the query's top
+    nprobe centroids by the same rule, exact cosine on survivors.
+    list_inner_product accumulates sequentially like Spark's F.aggregate
+    fold, so assignment matches bit-wise."""
+    from visionsearch_spark.operators.similarity import _seeded_centroids
+
+    cents = _seeded_centroids(dim, n_centroids, seed)
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(v)) for v in c)
+        + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cent(cid, coefs) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+dots AS (
+  SELECT e.vec_id, c.cid, list_inner_product(e.v, c.coefs) AS d
+  FROM e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, list_inner_product((SELECT qv FROM q), c.coefs) AS d
+    FROM cent c
+  ) ORDER BY d DESC, cid ASC LIMIT {nprobe}
+),
+scored AS (
+  SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT qv FROM q)) AS cos
+  FROM e JOIN assign USING(vec_id)
+  WHERE assign.cid IN (SELECT cid FROM probes)
+)
+SELECT vec_id, round(cos, 6) AS cos FROM scored
 ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
@@ -1124,6 +1209,9 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
         ) WHERE rnk <= 3
     """
     sql["ann_lsh_topk"] = _ann_lsh_oracle(k=20, n_planes=16, max_hamming=6)
+    sql["ann_ivf_topk"] = _ann_ivf_oracle(
+        k=20, n_centroids=IVF_N_CENTROIDS, nprobe=IVF_NPROBE, seed=IVF_SEED
+    )
     sql["ann_recall_at_k"] = _ann_recall_oracle(
         ANN_RECALL_QUERY_IDS, ANN_RECALL_K, n_planes=16, max_hamming=6
     )

@@ -135,3 +135,93 @@ def test_ann_recall_at_k_operator(spark, emb, tmp_path_factory):
     # no pruning (max_hamming = n_planes) => approx == exact => recall 1.0
     full = ann_recall_at_k(emb, root, qids, k=10, max_hamming=16).collect()
     assert all(r["recall"] == 1.0 for r in full)
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, tmp_path_factory):
+    """nprobe == n_centroids degrades IVF to exact brute force: identical
+    ids AND scores (within float-fold noise) to cosine_topk_to_query."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivf_full"))
+    build_ivf_index(emb, root, n_centroids=8, seed=11)
+    qvec = list(emb.filter(F.col("vec_id") == 3).select("embedding")
+                .limit(1).collect()[0][0])
+    exact = cosine_topk_to_query(emb, qvec, k=15).collect()
+    ivf = cosine_topk_ivf(emb, root, qvec, k=15, nprobe=8).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in ivf]
+    for a, b in zip(exact, ivf):
+        assert abs(a["cos"] - b["cos"]) < 1e-12
+
+
+def test_ivf_cell_assignment_matches_numpy(spark, emb, tmp_path_factory):
+    """The executor-side argmax (sequential-fold dots + struct array_max)
+    agrees with a numpy replay: argmax(X @ C.T) with first-max ties."""
+    from visionsearch_spark.operators.similarity import (
+        IVF_CELLS,
+        _seeded_centroids,
+        build_ivf_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivf_cells"))
+    build_ivf_index(emb, root, n_centroids=16, seed=11)
+    got = {
+        r["id"]: r["cell"]
+        for r in spark.read.parquet(f"{root}/{IVF_CELLS}").collect()
+    }
+    pdf = emb.orderBy("vec_id").select("vec_id", "embedding").toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in pdf["embedding"]])
+    cents = _seeded_centroids(x.shape[1], 16, seed=11)
+    want = np.argmax(x @ cents.T, axis=1)
+    assert len(got) == len(pdf)
+    for vid, expect in zip(pdf["vec_id"], want):
+        assert got[int(vid)] == int(expect), int(vid)
+
+
+def test_ivf_prune_reads_only_cell_sidecar(spark, emb, tmp_path_factory):
+    """The probe filter scans the (id, cell) sidecar only — pruned rows'
+    vector bytes are never read (the 100 TB story)."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivf_plan"))
+    build_ivf_index(emb, root, n_centroids=16, seed=11)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding")
+                .limit(1).collect()[0][0])
+    plan = cosine_topk_ivf(emb, root, qvec, k=20, nprobe=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint,cell:int>" in plan
+    assert "cell" in plan and "IN (" in plan.replace("in(", "IN (")
+
+
+def test_ivf_trained_centroids(spark, emb, tmp_path_factory):
+    """train_ivf_centroids is deterministic, produces unit-norm centroids,
+    and the trained quantizer's recall@20 at nprobe=4/16 clears a floor on
+    the fixture corpus (spot check vs the exact scorer)."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    c1 = train_ivf_centroids(emb, n_centroids=16, iters=5, seed=11)
+    c2 = train_ivf_centroids(emb, n_centroids=16, iters=5, seed=11)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    root = str(tmp_path_factory.mktemp("ivf_trained"))
+    build_ivf_index(emb, root, centroids=c1)
+    recalls = []
+    for qid in (0, 1, 2):
+        qvec = list(emb.filter(F.col("vec_id") == qid).select("embedding")
+                    .limit(1).collect()[0][0])
+        exact = {r["vec_id"] for r in
+                 cosine_topk_to_query(emb, qvec, k=20).collect()}
+        approx = {r["vec_id"] for r in
+                  cosine_topk_ivf(emb, root, qvec, k=20, nprobe=4).collect()}
+        recalls.append(len(exact & approx) / 20.0)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

@@ -220,6 +220,161 @@ def cosine_topk_lsh_indexed(
     )
 
 
+IVF_META = "ivf_meta.json"
+IVF_CELLS = "cells"
+
+
+def _seeded_centroids(dim: int, n_centroids: int, seed: int = 11) -> np.ndarray:
+    """Static coarse quantizer: seeded gaussian directions, unit-norm.
+    With unit-norm centroids, argmax dot == argmax cosine, so assignment
+    needs no per-row norm."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    seed: int = 11,
+    sample_mod: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means on a deterministic modular sample (driver-side
+    numpy) — the trained coarse quantizer for :func:`build_ivf_index`.
+
+    Sampling is `id % sample_mod == 0` (scale-out invariant, same device
+    as textstats.deterministic_sample): at 100 TB pick sample_mod so the
+    sample is ~1M vectors — IVF quantizers are conventionally trained on a
+    bounded sample (FAISS trains IVF coarse quantizers the same way), so
+    the driver-side collect is bounded by construction, not by luck.
+    Deterministic: seeded init, fixed iteration count, argmax ties go to
+    the lowest centroid id (numpy argmax picks the first maximum)."""
+    rows = (
+        emb.filter((F.col(id_col) % sample_mod) == 0)
+        .select(vec_col).collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = _seeded_centroids(x.shape[1], n_centroids, seed)
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = float(np.linalg.norm(v))
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def _ivf_cell_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id: argmax_c dot(v, centroid_c), ties to the
+    LOWEST centroid id. Each dot is the sequential `_dot` fold (same
+    accumulation order as DuckDB's list_inner_product, so the oracle
+    assigns identically); argmax via array_max over struct(d, -cid)."""
+    entries = []
+    for i, cen in enumerate(centroids):
+        coefs = F.array(*[F.lit(float(c)) for c in cen])
+        entries.append(
+            F.struct(_dot(vec_col, coefs).alias("d"), F.lit(-i).alias("nc"))
+        )
+    best = F.array_max(F.array(*entries))
+    return (-best["nc"]).cast("int")
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    root: str,
+    n_centroids: int = 16,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF sidecar: (id, cell:int) parquet plus the centroid
+    matrix in meta (float64 round-trips through json repr). The FAISS-IVF
+    analogue of the reference's flat index
+    (`/root/reference/visionsearch/common_utils/indexing/faiss_index/core.py:13-16`):
+    at 100 TB the query touches nprobe/n_centroids of the corpus, and the
+    cell column (4 bytes/row) is the only thing the prune scans. Pass
+    `centroids=train_ivf_centroids(...)` for the trained quantizer;
+    default is the static seeded quantizer (what the value-checked
+    contract query uses, since k-means can't be replayed in static SQL)."""
+    import json
+
+    dim = len(emb.select(vec_col).limit(1).collect()[0][0])
+    if centroids is None:
+        centroids = _seeded_centroids(dim, n_centroids, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    os.makedirs(root, exist_ok=True)
+    (
+        emb.select(
+            F.col(id_col).alias("id"),
+            _ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+        )
+        .write.mode("overwrite").parquet(os.path.join(root, IVF_CELLS))
+    )
+    meta = {
+        "dim": dim,
+        "n_centroids": int(len(centroids)),
+        "seed": seed,
+        "centroids": [[float(v) for v in c] for c in centroids],
+    }
+    tmp = os.path.join(root, IVF_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, IVF_META))
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    root: str,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a build_ivf_index sidecar: rank centroids against the
+    query driver-side (n_centroids dots — metadata-sized), scan the cell
+    column for rows in the top-nprobe cells, exact-cosine only the
+    survivors. nprobe == n_centroids degrades to exact brute force (the
+    recall-1.0 invariant pytest pins). Query-side centroid dots use a
+    plain sequential Python fold — the same accumulation order as the
+    executor `_dot` and DuckDB's list_inner_product."""
+    import json
+
+    with open(os.path.join(root, IVF_META)) as f:
+        m = json.load(f)
+    if len(query_vec) != m["dim"]:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {m['dim']}")
+    qv = [float(x) for x in query_vec]
+    ranked = []
+    for cid, cen in enumerate(m["centroids"]):
+        d = 0.0
+        for a, b in zip(qv, cen):
+            d += a * b
+        ranked.append((-d, cid))
+    probes = [cid for _, cid in sorted(ranked)[:nprobe]]
+    spark = emb.sparkSession
+    survivors = (
+        spark.read.parquet(os.path.join(root, IVF_CELLS))
+        .filter(F.col("cell").isin(probes))
+        .select(F.col("id").alias(id_col))
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(survivors, id_col)
+        .select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_recall_at_k(
     emb: DataFrame,
     root: str,
