@@ -156,15 +156,25 @@ def test_ivf_full_probe_equals_exact(spark, emb, tmp_path_factory):
         assert abs(a["cos"] - b["cos"]) < 1e-12
 
 
-def test_ivf_cell_assignment_matches_numpy(spark, emb, tmp_path_factory):
+@pytest.mark.parametrize("sf_dir", [
+    "/root/testdata/sf0.001",  # driver smoke fixture
+    "/root/testdata/sf0.01",   # driver correctness fixture
+])
+def test_ivf_cell_assignment_matches_numpy(spark, sf_dir, tmp_path_factory):
     """The executor-side argmax (sequential-fold dots + struct array_max)
-    agrees with a numpy replay: argmax(X @ C.T) with first-max ties."""
+    agrees with a numpy replay (argmax(X @ C.T), first-max ties) on EVERY
+    fixture the driver checks — the canary for the ann_ivf_topk contract
+    row: numpy's blocked BLAS summation differs from the sequential fold
+    in the last ULP, so agreement certifies the centroid-dot gaps on
+    these fixtures dwarf summation-order noise (same argument as the LSH
+    sign bits)."""
     from visionsearch_spark.operators.similarity import (
         IVF_CELLS,
         _seeded_centroids,
         build_ivf_index,
     )
 
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     root = str(tmp_path_factory.mktemp("ivf_cells"))
     build_ivf_index(emb, root, n_centroids=16, seed=11)
     got = {
