@@ -303,6 +303,13 @@ def _token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_stats(spark.read.parquet(_p(sf_dir, "documents")))
 
 
+def _llm_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import llm_token_estimate
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return llm_token_estimate(docs)
+
+
 def _deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.textstats import deterministic_sample
 
@@ -529,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang_id": _lang_id,
             "quality_score": _quality_score,
             "token_length_stats": _token_length_stats,
+            "llm_token_estimate": _llm_token_estimate,
             "deterministic_sample": _deterministic_sample,
             "training_set_filter": _training_set_filter,
             "doc_fingerprint": _doc_fingerprint,
@@ -1149,6 +1157,18 @@ SELECT count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
        round(quantile_cont(n_tokens, 0.9), 6) AS p90,
        round(quantile_cont(n_tokens, 0.99), 6) AS p99
 FROM d
+"""
+    from visionsearch_spark.operators.textstats import (
+        BPE_CHARS_PER_TOKEN,
+        BPE_PIECE_RE,
+    )
+    sql["llm_token_estimate"] = f"""
+SELECT doc_id,
+       coalesce(list_sum(list_transform(
+           regexp_extract_all(text, '{BPE_PIECE_RE}'),
+           p -> CAST(ceil(length(p) / {BPE_CHARS_PER_TOKEN}.0) AS BIGINT)
+       )), 0)::BIGINT AS est_tokens
+FROM documents
 """
     from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
     sql["deterministic_sample"] = f"""

@@ -117,3 +117,38 @@ def test_token_length_stats_values(spark):
         and got["max_tokens"] == 8
     assert got["p50"] == 4.0            # interp between 3 and 5
     assert abs(got["avg_tokens"] - 17 / 4) < 1e-9
+
+
+def test_llm_token_estimate_matches_python_replica(spark):
+    import math
+    import re
+
+    from visionsearch_spark.operators.textstats import (
+        BPE_CHARS_PER_TOKEN,
+        BPE_PIECE_RE,
+        llm_token_estimate,
+    )
+
+    rows = [
+        (0, "hello world"),                          # 2 short words
+        (1, ""),                                     # empty -> 0
+        (2, "supercalifragilisticexpialidocious"),   # 34 chars -> ceil(34/4)
+        (3, "a b, c... 12345 !!"),                   # punct singles, digit run
+        (4, "   \t\n  "),                            # whitespace only -> 0
+        (5, "CamelCaseWord123mixed"),                # runs split at class edges
+        (6, "café über naïve"),                      # non-ascii: piece chars
+    ]
+    got = {
+        r["doc_id"]: r["est_tokens"]
+        for r in llm_token_estimate(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        want = sum(
+            math.ceil(len(p) / BPE_CHARS_PER_TOKEN)
+            for p in re.findall(BPE_PIECE_RE, text)
+        )
+        assert got[doc_id] == want, (doc_id, text)
+    assert got[1] == 0 and got[4] == 0
+    assert got[2] == math.ceil(34 / 4)

@@ -108,6 +108,34 @@ def token_length_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+BPE_CHARS_PER_TOKEN = 4
+
+
+def llm_token_estimate(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish LLM token count estimate, fully in JVM codegen:
+    pieces = regex runs (letter runs | digit runs | single punct — the
+    GPT-2 pre-tokenizer shape minus its lookarounds, which RE2-based SQL
+    engines can't run), each piece costing ceil(len/4) tokens (BPE splits
+    long words into ~4-char subwords; short pieces cost 1). A deliberate
+    deterministic ESTIMATOR, not a tokenizer: the pipeline use is sizing/
+    budgeting (packing, context-window fit) where cross-engine
+    reproducibility beats vocab fidelity. One scan, no shuffle; the
+    alternation's branches are disjoint so Java-regex (leftmost-first)
+    and RE2 (DuckDB twin) match identically."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), 0)
+    est = F.aggregate(
+        F.transform(
+            pieces,
+            lambda p: F.ceil(F.length(p) / F.lit(BPE_CHARS_PER_TOKEN)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(id_col, est.alias("est_tokens"))
+
+
 def deterministic_sample(docs: DataFrame, rate: float = 0.1,
                          id_col: str = "doc_id",
                          mult: int = FP_MULT, offset: int = 12345,
