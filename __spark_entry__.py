@@ -407,7 +407,11 @@ def _ann_root(spark: SparkSession, sf_dir: str) -> str:
     from visionsearch_spark.operators.similarity import SIG_META, build_ann_index
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    key = hashlib.sha1(f"ann-v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    # build params are part of the key: changing planes/seed must never
+    # silently reuse a sidecar built under the old quantizer
+    key = hashlib.sha1(
+        f"ann-v1:planes=16:seed=7:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"vss_ann_{key}")
     if not os.path.exists(os.path.join(root, SIG_META)):
         build_ann_index(emb, root, n_planes=16, seed=7)
@@ -455,7 +459,13 @@ def _ivf_root(spark: SparkSession, sf_dir: str) -> str:
     from visionsearch_spark.operators.similarity import IVF_META, build_ivf_index
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    key = hashlib.sha1(f"ivf-v1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    # build params are part of the key: bumping IVF_N_CENTROIDS/IVF_SEED
+    # must never silently reuse cells assigned under the old quantizer
+    # (the oracle recomputes centroids from the constants)
+    key = hashlib.sha1(
+        f"ivf-v1:k={IVF_N_CENTROIDS}:seed={IVF_SEED}:"
+        f"{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"vss_ivf_{key}")
     if not os.path.exists(os.path.join(root, IVF_META)):
         build_ivf_index(emb, root, n_centroids=IVF_N_CENTROIDS, seed=IVF_SEED)

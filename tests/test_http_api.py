@@ -193,3 +193,26 @@ def test_upload_preserves_client_ts(served, tmp_path_factory):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_upload_malformed_content_length_gets_400(served):
+    """A non-numeric or negative Content-Length must produce a clean 400,
+    not an unhandled ValueError that resets the connection (r3 review:
+    int() ran outside the try; negative lengths also bypassed the cap)."""
+    import http.client
+
+    url, _searcher, spool, *_ = served
+    host, port = url.removeprefix("http://").split(":")
+    before = set(os.listdir(spool)) if os.path.isdir(spool) else set()
+    for bad in ("abc", "-5"):
+        conn = http.client.HTTPConnection(host, int(port), timeout=10)
+        try:
+            conn.putrequest("POST", "/upload", skip_accept_encoding=True)
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", bad)
+            conn.endheaders()
+            assert conn.getresponse().status == 400, bad
+        finally:
+            conn.close()
+    after = set(os.listdir(spool)) if os.path.isdir(spool) else set()
+    assert after == before  # nothing spooled

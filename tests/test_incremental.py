@@ -467,3 +467,66 @@ def test_append_stats_incremental_and_exact(spark, halves, tmp_path_factory):
     assert meta["n_docs"] == int(truth["n"])
     assert meta["sum_dl"] == int(truth["s"])
     assert meta["avgdl"] == int(truth["s"]) / int(truth["n"])
+
+
+def test_legacy_repair_with_torn_fragment_no_duplication(
+        spark, halves, tmp_path_factory):
+    """Crash EXACTLY between the fragment os.replace and the manifest
+    os.replace during a pre-upgrade (legacy) append: the orphan fragment
+    must not be merged by the repair compaction AND re-SPIMI'd into the
+    delta dir — pre-fix that pid's postings existed twice (df and scores
+    doubled). compact_store now drops committed-manifest-less fragments
+    first (store.orphan_fragments)."""
+    import json
+    import os
+
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_torn"))
+    store = incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+
+    # downgrade to the legacy layout (round-1: single un-suffixed dirs)
+    meta = store.read_meta()
+    ep = int(meta["epoch"])
+    os.rename(os.path.join(root, f"segments-{ep:06d}"),
+              os.path.join(root, "segments"))
+    os.rename(os.path.join(root, f"term_stats-{ep:06d}"),
+              os.path.join(root, "term_stats"))
+    for key in ("compacted_pids", "segment_dirs", "term_stats_dirs",
+                "retired_dirs", "epoch"):
+        meta.pop(key, None)
+    # torn state: one pid's fragment committed, manifest not; append
+    # intent recorded (phase=appending) — the reviewer scenario
+    torn_pid = sorted(store.done_partitions())[0]
+    os.remove(store.manifest_path(torn_pid))
+    assert store.orphan_fragments() == [store.fragment_path(torn_pid)]
+    meta["phase"] = "appending"
+    with open(store.meta_path, "w") as f:
+        json.dump(meta, f)
+
+    # repair + append the second half in one call
+    store = incremental_build(
+        spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+    meta = store.read_meta()
+    assert meta["phase"] == "built"
+    assert meta["n_docs"] == len(full_pdf)
+    assert store.orphan_fragments() == []
+
+    # doubling detector: df totals == distinct (doc, term) pairs
+    oracle = build_oracle_index(
+        list(full_pdf[["conv_id", "turn_idx", "text"]]
+             .itertuples(index=False, name=None)))
+    ts = spark.read.parquet(*store.term_stats_paths())
+    got_df = {r["term"]: r["df"] for r in
+              ts.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    assert got_df == dict(oracle.df)
+
+    for q, k in [("join filter", 10), ("window", 5)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[3], rel_tol=1e-9)

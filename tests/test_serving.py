@@ -75,12 +75,12 @@ def test_sharded_router_rank_identity(serving_store, searcher, query_set):
         assert [g[:3] for g in got] == [e[:3] for e in exp], row.query_text
         for g, e in zip(got, exp):
             assert math.isclose(g[3], e[3], rel_tol=1e-12)
+        # FULL-tuple identity incl. representative docid: the router's
+        # resolve pass must pick min run-start over ALL matched units,
+        # not just the groups that ranked the conv (r3 review finding)
         exp_d = searcher.search_docs(row.query_text, k=row.k)
         got_d = router.search_docs(row.query_text, k=row.k)
-        assert got_d == exp_d or (
-            [(c, round(s, 12)) for _d, c, s in got_d]
-            == [(c, round(s, 12)) for _d, c, s in exp_d]
-        ), row.query_text
+        assert got_d == exp_d, row.query_text
 
 
 def test_sharded_router_on_appended_store(spark, transcripts_pdf,
@@ -105,6 +105,54 @@ def test_sharded_router_on_appended_store(spark, transcripts_pdf,
     router = ShardedSearcher(store, n_groups=3)
     for q, k in [("join filter stream", 10), ("window", 8), ("customer", 5)]:
         assert router.search(q, k=k) == single.search(q, k=k), q
-        got_d = router.search_docs(q, k=k)
-        exp_d = single.search_docs(q, k=k)
-        assert [(c, s) for _d, c, s in got_d] == [(c, s) for _d, c, s in exp_d], q
+        # full-tuple: representative docid resolve pass, appended layout
+        assert router.search_docs(q, k=k) == single.search_docs(q, k=k), q
+
+
+def test_sharded_router_representative_docid_resolve(
+        spark, tmp_path_factory):
+    """Adversarial construction of the r3 review finding: conv 'a' has a
+    WEAK unit in group 0 (lowest docid) and its STRONG unit in group 1;
+    group 0's top-1 is another conv, so pre-fix the router never saw
+    a's low-docid run and returned the group-1 run-start as the
+    representative — diverging from the single searcher's min run-start
+    over ALL matched units."""
+    from visionsearch_spark.fixtures import TRANSCRIPTS_SCHEMA
+    from visionsearch_spark.streaming.incremental import incremental_build
+
+    def df_of(rows):
+        import pandas as pd
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+    root = str(tmp_path_factory.mktemp("idx_rep"))
+    # initial build: docid0 = a-t0 (weak), docid1 = b-t0; shard_range=1
+    incremental_build(
+        df_of([("a", 0, "user", "apple", "", 0.0),
+               ("b", 0, "user", "apple apple", "", 1.0)]),
+        root, n_partitions=2)
+    # append: docid2 = 0zz-t0 (beats a in group 0), docid3 = a-t1
+    # (strongest overall, lands in group 1)
+    store = incremental_build(
+        df_of([("0zz", 0, "user", "apple apple apple", "", 2.0),
+               ("a", 1, "user", "apple apple apple apple", "", 3.0),
+               ("a", 0, "user", "apple", "", 0.0),
+               ("b", 0, "user", "apple apple", "", 1.0)]),
+        root, n_partitions=2)
+    assert int(store.read_meta()["shard_range"]) == 1
+
+    single = LocalSearcher(store)
+    router = ShardedSearcher(store, n_groups=2)
+    # group layout sanity: conv a's units straddle the two groups
+    assert [sorted(s.shards) for s in router.searchers] == [[0, 2], [1, 3]]
+
+    exp = single.search_docs("apple", k=1)
+    got = router.search_docs("apple", k=1)
+    assert exp[0][1] == "a" and exp[0][0] == 0  # min run-start, weak unit
+    assert got == exp
+
+    # and the full result sets stay identical at larger k
+    assert router.search_docs("apple", k=4) == single.search_docs("apple", k=4)

@@ -375,6 +375,8 @@ def compact_store(spark: SparkSession, root: str,
     store = IndexStore(root)
     meta = store.read_meta()
     n_partitions = n_partitions or int(meta["n_partitions"])
+    for path in store.orphan_fragments():
+        os.remove(path)  # uncommitted crash leftovers; staged re-SPIMI covers them
     frags = (
         spark.read.schema(SEGMENT_SCHEMA_DDL)
         .option("pathGlobFilter", "fragment-*.parquet")

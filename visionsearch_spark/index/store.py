@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
 # Per-block pruning metadata is (max_tf, min_dl), NOT a precomputed
@@ -191,6 +192,23 @@ class IndexStore:
                 if m.get("status") == "done":
                     done.add(int(m["partition_id"]))
         return done
+
+    def orphan_fragments(self) -> list[str]:
+        """Fragment files whose pid has NO committed manifest — a crash
+        landed between the fragment os.replace and the manifest
+        os.replace in spimi.flush. They are uncommitted work (resume
+        re-SPIMIs those pids from staged), so any reader that globs the
+        whole fragments dir (compact_store) must drop them first or the
+        orphan pid's postings end up BOTH in the compacted dir and in the
+        re-SPIMI'd delta dir — doubled df and scores."""
+        done = self.done_partitions()
+        out = []
+        if os.path.isdir(self.fragments_dir):
+            for name in os.listdir(self.fragments_dir):
+                m = re.match(r"fragment-(\d+)\.parquet$", name)
+                if m and int(m.group(1)) not in done:
+                    out.append(os.path.join(self.fragments_dir, name))
+        return out
 
     def manifests(self) -> list[dict]:
         out = []

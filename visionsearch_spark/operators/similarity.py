@@ -163,7 +163,13 @@ def build_ann_index(emb: DataFrame, root: str, n_planes: int = 16,
     dot products over the full corpus per query (r1 verdict item 7)."""
     import json
 
-    dim = len(emb.select(vec_col).limit(1).collect()[0][0])
+    first = emb.select(vec_col).limit(1).collect()
+    if not first or first[0][0] is None:
+        raise ValueError(
+            f"build_ann_index: embeddings table is empty or {vec_col!r} is "
+            "null in the first row — nothing to sign"
+        )
+    dim = len(first[0][0])
     planes = _hyperplanes(dim, n_planes, seed)
     os.makedirs(root, exist_ok=True)
     (
@@ -306,7 +312,13 @@ def build_ivf_index(
     contract query uses, since k-means can't be replayed in static SQL)."""
     import json
 
-    dim = len(emb.select(vec_col).limit(1).collect()[0][0])
+    first = emb.select(vec_col).limit(1).collect()
+    if not first or first[0][0] is None:
+        raise ValueError(
+            f"build_ivf_index: embeddings table is empty or {vec_col!r} is "
+            "null in the first row — nothing to quantize"
+        )
+    dim = len(first[0][0])
     if centroids is None:
         centroids = _seeded_centroids(dim, n_centroids, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
@@ -375,6 +387,33 @@ def cosine_topk_ivf(
     )
 
 
+def _grouped_topk(
+    scored: DataFrame, k: int, id_col: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Top-k per query_vec_id of (query_vec_id, id, cos) rows in two
+    stages: salted local cut (|Q|·salt_buckets parallel window groups —
+    a window keyed on query_vec_id alone would funnel every scored row
+    through |Q| tasks), then the exact cut over ≤ |Q|·buckets·k
+    candidates. Top-k is associative, so any salt partition is exact;
+    xxhash64(id) makes it deterministic. Ordering (cos desc, id asc)
+    matches cosine_topk_to_query's TakeOrderedAndProject tie-break."""
+    from pyspark.sql import Window
+
+    order = [F.desc("cos"), F.asc(id_col)]
+    w1 = Window.partitionBy("query_vec_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_vec_id").orderBy(*order)
+    return (
+        scored.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("query_vec_id", id_col)
+    )
+
+
 def ann_recall_at_k(
     emb: DataFrame,
     root: str,
@@ -389,37 +428,81 @@ def ann_recall_at_k(
     rigorous harness (`perception_models/.../zeroshot_retrieval.py:160-183`,
     batched recall@k over the exact score matrix).
 
-    Per query: |approx_topk ∩ exact_topk| / k. The query vectors (a
-    bounded eval set) are fetched driver-side; each top-k is a k-row
-    result, and the intersection/recall is one join+agg over ≤ |Q|·k
-    rows — nothing unbounded leaves the executors. Returns
-    (query_vec_id long, recall double)."""
+    Per query: |approx_topk ∩ exact_topk| / k. ONE scan of the vectors
+    scores every query at once (query vecs ride a broadcast — r3 review:
+    the per-query loop re-read the corpus 2·|Q| times), and ONE scan of
+    the signature sidecar Hamming-prunes all queries; per-query top-k via
+    the salted two-stage window (_grouped_topk). Per-pair cosine uses the
+    same sequential JVM fold as the single-query paths, so results are
+    bit-identical to looping cosine_topk_lsh_indexed/cosine_topk_to_query.
+    At 10^12 rows run the exact side on a deterministic_sample — an exact
+    recall denominator over the full corpus is the cost floor of ANY
+    recall eval, not of this plan. Returns (query_vec_id long,
+    recall double)."""
+    import json
+
     spark = emb.sparkSession
     qrows = (
         emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(id_col, vec_col).collect()
     )
     qvecs = {int(r[0]): [float(x) for x in r[1]] for r in qrows}
-    approx = exact = None
+    missing = [int(q) for q in query_ids if int(q) not in qvecs]
+    if missing:
+        raise ValueError(
+            f"ann_recall_at_k: query ids {missing} have no row in the "
+            "embeddings table — recall against an absent query vector is "
+            "undefined (filter your eval set first)"
+        )
+    with open(os.path.join(root, SIG_META)) as f:
+        m = json.load(f)
+    planes = _hyperplanes(m["dim"], m["n_planes"], m["seed"])
+    qmeta = []
     for qid in query_ids:
-        a = cosine_topk_lsh_indexed(
-            emb, root, qvecs[qid], k=k, max_hamming=max_hamming,
-            vec_col=vec_col, id_col=id_col,
-        ).select(F.lit(qid).cast("long").alias("query_vec_id"), id_col)
-        e = cosine_topk_to_query(
-            emb, qvecs[qid], k=k, vec_col=vec_col, id_col=id_col,
-        ).select(F.lit(qid).cast("long").alias("query_vec_id"), id_col)
-        approx = a if approx is None else approx.unionByName(a)
-        exact = e if exact is None else exact.unionByName(e)
+        qv = np.asarray(qvecs[int(qid)], dtype=np.float64)
+        qsig = 0
+        for i, plane in enumerate(planes):
+            if float(plane @ qv) >= 0:
+                qsig |= 1 << i
+        qmeta.append((int(qid), qvecs[int(qid)], qsig))
+    qdf = spark.createDataFrame(
+        qmeta, "query_vec_id long, qvec array<double>, qsig long"
+    )
+    scored_exact = emb.crossJoin(F.broadcast(qdf)).select(
+        "query_vec_id",
+        id_col,
+        cosine_col(F.col(vec_col), F.col("qvec")).alias("cos"),
+    )
+    exact = _grouped_topk(scored_exact, k, id_col)
+    survivors = (
+        spark.read.parquet(os.path.join(root, SIG_DIR))
+        .crossJoin(F.broadcast(qdf.select("query_vec_id", "qsig")))
+        .filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+            <= max_hamming
+        )
+        .select("query_vec_id", F.col("id").alias(id_col))
+    )
+    scored_approx = (
+        survivors.join(emb, id_col)
+        .join(F.broadcast(qdf.select("query_vec_id", "qvec")),
+              "query_vec_id")
+        .select(
+            "query_vec_id",
+            id_col,
+            cosine_col(F.col(vec_col), F.col("qvec")).alias("cos"),
+        )
+    )
+    approx = _grouped_topk(scored_approx, k, id_col)
     hits = (
         approx.join(exact, ["query_vec_id", id_col])
         .groupBy("query_vec_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    qdf = spark.createDataFrame(
+    qids_df = spark.createDataFrame(
         [(int(q),) for q in query_ids], "query_vec_id long"
     )
-    return qdf.join(hits, "query_vec_id", "left").select(
+    return qids_df.join(hits, "query_vec_id", "left").select(
         "query_vec_id",
         F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 6)
         .alias("recall"),

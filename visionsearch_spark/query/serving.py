@@ -34,6 +34,7 @@ class LocalSearcher:
         meta = store.read_meta()
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])
+        self.shards = shards
         flt = None
         if shards is not None:
             import pyarrow.compute as pc
@@ -103,14 +104,18 @@ class LocalSearcher:
         return 0 if idxs is None else int(sum(self._ns[i] for i in idxs))
 
     def search_docs(self, query: str, k: int = 5, threshold: float = 0.0,
-                    term_weights: dict[str, float] | None = None
+                    term_weights: dict[str, float] | None = None,
+                    conv_filter: set[str] | None = None
                     ) -> list[tuple[int, str, float]]:
         """Doc-level top-k over a UNIT store: per-unit scores collapse to
         per-document max (units.py semantics, served in-memory). Bounds
         are derived from the loaded docid-ordered conv column — never a
         stored table that an append could leave stale. Over a transcript
         store this collapses turns per conversation (conv-level search).
-        Returns [(first_unit_docid, conv_id, score)]."""
+        Returns [(first_unit_docid, conv_id, score)].
+
+        conv_filter: return ONLY those convs, uncut (no k-cut) — the
+        router's representative-docid resolve pass (ShardedSearcher)."""
         if self._bounds is None:
             conv = self._conv
             if conv.size == 0:
@@ -140,6 +145,11 @@ class LocalSearcher:
         convs = convs[st2]
         uniq = uniq[st2]
         sums = np.maximum.reduceat(sums, st2)
+        if conv_filter is not None:
+            keep = np.flatnonzero(np.isin(convs, list(conv_filter)))
+            return [
+                (int(uniq[i]), str(convs[i]), float(sums[i])) for i in keep
+            ]
         # tie-break on the PARENT id (== the distributed path's ordering;
         # docid order can diverge from conv order on appended stores)
         if uniq.size > k:
@@ -281,20 +291,31 @@ class ShardedSearcher:
                     ) -> list[tuple[int, str, float]]:
         """Doc-level (conv-collapsed) scatter-gather: a parent's units can
         span shard groups, so per-group partial maxes re-merge by conv —
-        score = max across groups, representative docid = min run-start
-        (the same representative the single searcher picks)."""
+        score = max across groups. Two phases: rank (per-group top-k,
+        lossless for scores because unit scores are doc-local), then a
+        representative-docid resolve for just the <=k winners. The resolve
+        is needed because a group only reports a conv it RANKED: a group
+        holding the conv's lowest-docid units but beaten to its local
+        top-k by other convs would silently lose the representative that
+        the single full searcher picks (min run-start over ALL matched
+        units). Cost: one extra bounded pass per group over the winner
+        set (postings already decoded+cached from phase 1)."""
         w = self._weights(query)
         if not w:
             return []
-        best: dict[str, tuple[int, float]] = {}
+        best: dict[str, float] = {}
         for s in self.searchers:
-            for d, c, sc in s.search_docs(query, k=k, threshold=threshold,
-                                          term_weights=w):
+            for _d, c, sc in s.search_docs(query, k=k, threshold=threshold,
+                                           term_weights=w):
                 cur = best.get(c)
-                if cur is None:
-                    best[c] = (d, sc)
-                else:
-                    best[c] = (min(cur[0], d), max(cur[1], sc))
-        out = [(d, c, sc) for c, (d, sc) in best.items()]
-        out.sort(key=lambda h: (-h[2], h[1]))  # score desc, conv asc
-        return out[:k]
+                best[c] = sc if cur is None else max(cur, sc)
+        ranked = sorted(best.items(), key=lambda h: (-h[1], h[0]))[:k]
+        winners = {c for c, _ in ranked}
+        rep: dict[str, int] = {}
+        for s in self.searchers:
+            for d, c, _sc in s.search_docs(query, threshold=threshold,
+                                           term_weights=w,
+                                           conv_filter=winners):
+                if c not in rep or d < rep[c]:
+                    rep[c] = d
+        return [(rep[c], c, sc) for c, sc in ranked]

@@ -171,7 +171,14 @@ class ServingApp:
                 if u.path != "/upload":
                     self._json(404, {"error": "not found"})
                     return
-                n = int(self.headers.get("Content-Length", "0"))
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self._json(400, {"error": "malformed Content-Length"})
+                    return
+                if n < 0:
+                    self._json(400, {"error": "malformed Content-Length"})
+                    return
                 if n > app.max_upload_bytes:
                     # reject BEFORE reading the body — nothing buffers,
                     # nothing spools (reference: 10 MB cap, 413)
