@@ -303,6 +303,16 @@ def _token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_stats(spark.read.parquet(_p(sf_dir, "documents")))
 
 
+PACK_WINDOW = 512
+
+
+def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import pack_documents
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return pack_documents(docs, window=PACK_WINDOW)
+
+
 def _llm_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.textstats import llm_token_estimate
 
@@ -547,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_score": _quality_score,
             "token_length_stats": _token_length_stats,
             "llm_token_estimate": _llm_token_estimate,
+            "pack_documents": _pack_documents,
             "deterministic_sample": _deterministic_sample,
             "training_set_filter": _training_set_filter,
             "doc_fingerprint": _doc_fingerprint,
@@ -1179,6 +1190,19 @@ SELECT doc_id,
            p -> CAST(ceil(length(p) / {BPE_CHARS_PER_TOKEN}.0) AS BIGINT)
        )), 0)::BIGINT AS est_tokens
 FROM documents
+"""
+    sql["pack_documents"] = f"""
+WITH d AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       ((cum - n_tokens) // {PACK_WINDOW})::BIGINT AS bin_id
+FROM c
 """
     from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
     sql["deterministic_sample"] = f"""

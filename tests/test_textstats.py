@@ -152,3 +152,57 @@ def test_llm_token_estimate_matches_python_replica(spark):
         assert got[doc_id] == want, (doc_id, text)
     assert got[1] == 0 and got[4] == 0
     assert got[2] == math.ceil(34 / 4)
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """Two-phase cumsum == a literal global running sum, and invariant to
+    input partitioning (the dense_ids recipe, generalized to weights)."""
+    from visionsearch_spark.docid import prefix_sum
+
+    rows = [(i, (7 * i + 3) % 23 + 1) for i in range(997)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    want, acc = {}, 0
+    for i, wgt in rows:
+        acc += wgt
+        want[i] = acc
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: r["cumsum"]
+            for r in prefix_sum(df.repartition(parts), "doc_id", "w").collect()
+        }
+        assert got == want, parts
+
+
+def test_pack_documents_semantics(spark):
+    """bin_id = tokens-before DIV window; bounded overflow/underfill;
+    matches a sequential python replica; id order preserved inside bins."""
+    from visionsearch_spark.operators.textstats import pack_documents
+
+    rows = [(i, "tok " * ((13 * i + 5) % 40 + 1)) for i in range(300)]
+    window = 64
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["bin_id"])
+        for r in pack_documents(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=window,
+        ).collect()
+    )
+    cum = 0
+    max_doc = 0
+    bins: dict[int, int] = {}
+    for (doc_id, n_tokens, bin_id), (i, text) in zip(got, rows):
+        n = len(text.split())
+        assert doc_id == i and n_tokens == n
+        assert bin_id == cum // window          # tokens-before DIV window
+        cum += n
+        max_doc = max(max_doc, n)
+        bins[bin_id] = bins.get(bin_id, 0) + n
+    # bounded overflow: every bin < window + max_doc tokens; every bin
+    # except the last >= window - max_doc + 1
+    last = max(bins)
+    for b, total in bins.items():
+        assert total < window + max_doc, (b, total)
+        if b != last:
+            assert total > window - max_doc, (b, total)
+    # bins are dense 0..last
+    assert set(bins) == set(range(last + 1))

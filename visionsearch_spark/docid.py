@@ -116,3 +116,53 @@ def assign_docids_with_count(
         .drop("_pid", "_rn", "_offset")
     )
     return out, acc
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cumsum",
+    n_partitions: int | None = None,
+    unpersist_handle: list | None = None,
+) -> DataFrame:
+    """INCLUSIVE running sum of `weight_col` in `order_col` order —
+    value-identical to ``sum(w) OVER (ORDER BY order_col ROWS UNBOUNDED
+    PRECEDING)`` but with NO global window (the same two-phase recipe as
+    dense_ids, generalized from counts to weighted sums): range-partition
+    by the order key, per-partition weight totals -> driver prefix-sum
+    (one long per partition), per-partition running sum + broadcast
+    offset. `order_col` must be unique (ties would make the global
+    ordering, and thus the cumsum, ill-defined).
+
+    The ranged frame is persisted: range boundaries come from sampling,
+    so the totals job and the running-sum job must see the same
+    partitioning (CLAUDE.md gotcha)."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if unpersist_handle is not None:
+        unpersist_handle.append(ranged)
+    totals = (
+        ranged.groupBy("_pid").agg(F.sum(weight_col).alias("_s"))
+        .orderBy("_pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["_pid"], acc))
+        acc += int(r["_s"])
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    w = (
+        Window.partitionBy("_pid").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_run", F.sum(weight_col).over(w).cast("long"))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_run"))
+        .drop("_pid", "_run", "_offset")
+    )

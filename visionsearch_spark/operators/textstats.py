@@ -136,6 +136,32 @@ def llm_token_estimate(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, est.alias("est_tokens"))
 
 
+def pack_documents(docs: DataFrame, window: int = 512,
+                   text_col: str = "text", id_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Greedy sequence packing for training: assign docs (in id order) to
+    context-window bins of `window` tokens with BOUNDED overflow —
+    bin_id = (tokens_before_this_doc) DIV window, so each bin holds at
+    most `window + max_doc_tokens - 1` tokens and every bin except
+    possibly the last holds at least `window - max_doc_tokens + 1`. The
+    fill-then-cut rule (vs exact first-fit, whose bin state is a
+    sequential fold no engine parallelizes) is what makes the operator
+    scale: the only cross-row dependency is a prefix sum, computed with
+    the dense_ids two-phase recipe — no global window, no funnel task
+    (docid.prefix_sum). Integer DIV both here and in the DuckDB twin:
+    no float rounding at bin boundaries. Returns
+    (doc_id, n_tokens, bin_id)."""
+    from visionsearch_spark.docid import prefix_sum
+
+    d = docs.select(id_col, F.size(tokens_col(text_col)).alias("n_tokens"))
+    c = prefix_sum(d, id_col, "n_tokens", out_col="_cum")
+    return c.select(
+        id_col,
+        "n_tokens",
+        F.expr(f"(_cum - n_tokens) div {int(window)}").alias("bin_id"),
+    )
+
+
 def deterministic_sample(docs: DataFrame, rate: float = 0.1,
                          id_col: str = "doc_id",
                          mult: int = FP_MULT, offset: int = 12345,
