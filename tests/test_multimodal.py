@@ -89,3 +89,29 @@ def test_frame_sample_zero_frames(spark):
         for r in frame_sample_plan(media, every_n=30).collect()
     }
     assert got == {(1, 0), (1, 30), (1, 60), (3, 0)}
+
+
+def test_byte_histogram_features(media, spark):
+    """Whole-batch bincount == per-row numpy replica; normalized rows sum
+    to 1; empty payloads give all-zero features; n_bins validated."""
+    from visionsearch_spark.operators.multimodal import byte_histogram_features
+
+    got = {
+        r["media_id"]: np.array(r["features"], dtype=np.float32)
+        for r in byte_histogram_features(media, n_bins=16).collect()
+    }
+    for mid, _mime, payload, _n in ROWS:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        want = np.bincount(arr // 16, minlength=16).astype(np.float32)
+        want /= max(len(arr), 1)
+        assert np.allclose(got[mid], want, atol=1e-7), mid
+        assert abs(float(got[mid].sum()) - 1.0) < 1e-5, mid
+
+    empty = spark.createDataFrame(
+        [(9, "application/octet-stream", b"", 0)], MEDIA_SCHEMA
+    )
+    feats = byte_histogram_features(empty, n_bins=16).collect()[0]["features"]
+    assert list(feats) == [0.0] * 16
+
+    with pytest.raises(ValueError, match="divide 256"):
+        byte_histogram_features(media, n_bins=17)
