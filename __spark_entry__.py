@@ -267,6 +267,21 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=5, tau=0.6, max_shingle_df=1000)
 
 
+def _cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: documents (corpus) vs the deterministic
+    10% sample (stand-in benchmark table) — every corpus doc whose
+    3-gram shingle set Jaccard-matches a benchmark doc at tau=0.5. The
+    DuckDB twin replays the same union-dictionary + banded-MinHash
+    candidate generation, so candidates (not just verified pairs) match
+    by construction."""
+    from visionsearch_spark.operators.dedup import cross_contamination
+    from visionsearch_spark.operators.textstats import deterministic_sample
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    bench = deterministic_sample(docs, rate=0.1)
+    return cross_contamination(docs, bench, n=3, tau=0.5)
+
+
 def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.dedup import simhash
 
@@ -551,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine_topk": _cosine_topk,
             "dedup_minhash_lsh": _dedup_minhash_lsh,
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+            "cross_contamination": _cross_contamination,
             "simhash64": _simhash64,
             "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
@@ -620,6 +636,60 @@ FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b
 WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {tau}
+"""
+
+
+def _cross_contamination_oracle(n: int, tau: float, rate: float = 0.1) -> str:
+    """Twin of dedup.cross_contamination over documents vs the
+    deterministic sample: union with side in the low id bit, ONE shingle
+    dictionary over the union, banded MinHash candidates across sides
+    only, exact-Jaccard verify, ids decoded back."""
+    from visionsearch_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_HASHES,
+    )
+    from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
+
+    toks = duckdb_tokens("text")
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    pred = (f"({FP_MULT}::BIGINT * doc_id + 12345) % {FP_PRIME}"
+            f" < {int(FP_PRIME * rate)}")
+    hash_mins = ", ".join(
+        f"min(({MINHASH_A[i]}::BIGINT * sid + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    rpb = N_HASHES // N_BANDS
+    band_joins = " UNION ".join(
+        "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON "
+        + " AND ".join(f"a.h{i} = b.h{i}"
+                       for i in range(band * rpb, (band + 1) * rpb))
+        + " WHERE a.id % 2 = 0 AND b.id % 2 = 1"
+        for band in range(N_BANDS)
+    )
+    inner = f"""
+WITH toks AS (
+  SELECT doc_id * 2 AS id, {toks} AS tk FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS id, {toks} AS tk FROM documents WHERE {pred}
+),
+sh AS (
+  SELECT DISTINCT id, unnest(
+    CASE WHEN len(tk) >= {n}
+         THEN list_transform(generate_series(1, len(tk)-{n - 1}), i -> {grams})
+         ELSE [] END) AS shingle
+  FROM toks
+),
+dic AS (
+  SELECT shingle, dense_rank() OVER (ORDER BY shingle)::BIGINT AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+sids AS (SELECT sh.id, dic.sid FROM sh JOIN dic USING(shingle)),
+sig AS (SELECT id, {hash_mins} FROM sids GROUP BY id),
+cands AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
+""" + _jaccard_tail(tau)
+    return f"""
+SELECT id_a // 2 AS corpus_id, (id_b - 1) // 2 AS benchmark_id, jaccard
+FROM ({inner})
 """
 
 
@@ -1156,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos DESC, vec_id ASC LIMIT 20
     """
     sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
+    sql["cross_contamination"] = _cross_contamination_oracle(n=3, tau=0.5)
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)
     sql["simhash64"] = _simhash_oracle(64)

@@ -146,3 +146,42 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
     for band in range(4):
         buckets = {(v >> (band * 16)) & 0xFFFF for v in vals}
         assert len(buckets) > 0.5 * n, (band, len(buckets), n)
+
+
+def test_cross_contamination_matches_bruteforce(spark, docs_df):
+    """Cross-table decontamination vs a pure-python exact-Jaccard replica
+    over the SAME banded candidate rule: corpus = DOCS, benchmark = docs
+    {0, 3, 6} with one near-dup rewrite. Pairs only cross tables; an
+    identical doc on both sides scores jaccard 1.0."""
+    from visionsearch_spark.operators.dedup import cross_contamination
+
+    bench_rows = [
+        (0, DOCS[0][1]),                       # identical to corpus doc 0
+        (3, DOCS[3][1].replace("today", "now")),  # near-dup of corpus 3
+        (6, "short text"),                     # < n tokens: no shingles
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        (r["corpus_id"], r["benchmark_id"]): r["jaccard"]
+        for r in cross_contamination(docs_df, bench, n=3, tau=0.4).collect()
+    }
+
+    def sh_set(text, n=3):
+        toks = tokenize(text)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    want = {}
+    for cid, ctext in DOCS:
+        for bid, btext in bench_rows:
+            a, b = sh_set(ctext), sh_set(btext)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= 0.4:
+                want[(cid, bid)] = round(j, 6)
+    # near-dup jaccards here are far from the banded-LSH miss regime, so
+    # the exact replica IS the expectation (candidate recall = 1 at these
+    # similarities on 8 docs)
+    assert got == want
+    assert got[(0, 0)] == 1.0 and got[(5, 0)] == 1.0  # cross-side only
+    assert all(cid != 6 or bid != 6 for cid, bid in got)

@@ -124,6 +124,56 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
     return _verify_jaccard(cands, sids, tau)
 
 
+def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        n: int = 3, tau: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """Train/benchmark DECONTAMINATION: near-dup pairs ACROSS two tables
+    — (corpus_id, benchmark_id, jaccard >= tau) for every corpus doc
+    whose token-n-gram shingle set near-duplicates a benchmark doc. The
+    standard pre-training sweep that keeps eval sets out of the training
+    corpus.
+
+    Same banded MinHash-LSH machinery as minhash_lsh_pairs, with the two
+    tables sharing ONE shingle dictionary (Jaccard lives in the joint
+    shingle space) and candidates generated only across sides. The side
+    rides in the low bit of the internal id (corpus = 2·id,
+    benchmark = 2·id + 1), so the shingle/signature pipeline stays
+    single-keyed — no second dictionary pass, no extra shuffle vs the
+    in-corpus variant. Scale shape is identical (band-bucket joins, never
+    a cross product); benchmark tables are typically tiny, so the
+    cross-side band join is hash-small on one side."""
+    c = corpus.select(
+        (F.col(id_col).cast("long") * 2).alias("id"),
+        F.col(text_col).alias(text_col),
+    )
+    b = benchmark.select(
+        (F.col(id_col).cast("long") * 2 + 1).alias("id"),
+        F.col(text_col).alias(text_col),
+    )
+    sh = shingles(c.unionByName(b), n, text_col, "id")
+    sids = shingle_ids(sh)
+    sig = minhash_signatures(sids).cache()
+    rows_per_band = N_HASHES // N_BANDS
+    cands = None
+    for band in range(N_BANDS):
+        cols = [f"h{i}"
+                for i in range(band * rows_per_band,
+                               (band + 1) * rows_per_band)]
+        left = sig.filter(F.col("id") % 2 == 0) \
+            .select(F.col("id").alias("id_a"), *cols)
+        right = sig.filter(F.col("id") % 2 == 1) \
+            .select(F.col("id").alias("id_b"), *cols)
+        pair = left.join(right, cols).select("id_a", "id_b")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+    return _verify_jaccard(cands, sids, tau).select(
+        F.expr("id_a div 2").alias("corpus_id"),
+        F.expr("(id_b - 1) div 2").alias("benchmark_id"),
+        "jaccard",
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_shingle_df: int | None = 1000) -> DataFrame:
