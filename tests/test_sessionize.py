@@ -214,3 +214,72 @@ def test_streaming_tumbling_agg_equals_batch(spark, spool, tmp_path_factory):
         # counts exact; sums within FP noise of the incremental partials
         assert got[key][0] == n, key
         assert abs(got[key][1] - sv) < 1e-6, key
+
+
+def test_streaming_dedup_equals_batch_keep_first(spark, tmp_path_factory):
+    """dedup_stream over id-ordered chunks (with planted cross-chunk and
+    in-chunk duplicates) == batch exact_dedup's keep-first winners; a
+    restart (second availableNow run over a new chunk) must not re-emit
+    texts already seen — the state survives the checkpoint."""
+    from visionsearch_spark.operators.dedup import exact_dedup
+    from visionsearch_spark.streaming.dedup_stream import dedup_stream
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").orderBy("doc_id").limit(200).collect()
+    rows = [(int(r["doc_id"]), r["text"]) for r in base]
+    n = len(rows)
+    # planted duplicates: ids 10000+ duplicate earlier texts
+    rows += [(10000 + i, rows[i * 3][1]) for i in range(30)]
+
+    root = str(tmp_path_factory.mktemp("dedup_stream"))
+    spool_dir = os.path.join(root, "spool")
+    os.makedirs(spool_dir)
+    chunks = [rows[: n // 2], rows[n // 2: n], rows[n:]]
+    for i, chunk in enumerate(chunks):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([c[0] for c in chunk], pa.int64()),
+                    "text": pa.array([c[1] for c in chunk], pa.string()),
+                }
+            ),
+            os.path.join(spool_dir, f"{i:04d}.parquet"),
+        )
+    ckpt, out = os.path.join(root, "ckpt"), os.path.join(root, "out")
+
+    def run():
+        q = (
+            dedup_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(spool_dir),
+                n_groups=8,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    # restart with one more chunk: half re-duplicates, half fresh
+    extra = [(20000, rows[0][1]), (20001, "a brand new unseen text")]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([c[0] for c in extra], pa.int64()),
+                "text": pa.array([c[1] for c in extra], pa.string()),
+            }
+        ),
+        os.path.join(spool_dir, "0005.parquet"),
+    )
+    run()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    all_rows = rows + extra
+    df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = sorted(r["keep_id"] for r in exact_dedup(df).collect())
+    assert kept == want
