@@ -419,6 +419,8 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_RECALL_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_RECALL_K = 20
+ANN_N_PLANES = 16
+ANN_SEED = 7
 IVF_N_CENTROIDS = 16
 IVF_SEED = 11
 IVF_NPROBE = 4
@@ -432,14 +434,16 @@ def _ann_root(spark: SparkSession, sf_dir: str) -> str:
     from visionsearch_spark.operators.similarity import SIG_META, build_ann_index
 
     emb = spark.read.parquet(_p(sf_dir, "embeddings"))
-    # build params are part of the key: changing planes/seed must never
-    # silently reuse a sidecar built under the old quantizer
+    # build params are part of the key VIA the shared constants (not
+    # literals): changing ANN_N_PLANES/ANN_SEED can never silently reuse
+    # a sidecar built under the old quantizer
     key = hashlib.sha1(
-        f"ann-v1:planes=16:seed=7:{os.path.abspath(sf_dir)}".encode()
+        f"ann-v1:planes={ANN_N_PLANES}:seed={ANN_SEED}:"
+        f"{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"vss_ann_{key}")
     if not os.path.exists(os.path.join(root, SIG_META)):
-        build_ann_index(emb, root, n_planes=16, seed=7)
+        build_ann_index(emb, root, n_planes=ANN_N_PLANES, seed=ANN_SEED)
     return root
 
 
@@ -1333,11 +1337,14 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
           FROM events
         ) WHERE rnk <= 3
     """
-    sql["ann_lsh_topk"] = _ann_lsh_oracle(k=20, n_planes=16, max_hamming=6)
+    sql["ann_lsh_topk"] = _ann_lsh_oracle(
+        k=20, n_planes=ANN_N_PLANES, max_hamming=6, seed=ANN_SEED
+    )
     sql["ann_ivf_topk"] = _ann_ivf_oracle(
         k=20, n_centroids=IVF_N_CENTROIDS, nprobe=IVF_NPROBE, seed=IVF_SEED
     )
     sql["ann_recall_at_k"] = _ann_recall_oracle(
-        ANN_RECALL_QUERY_IDS, ANN_RECALL_K, n_planes=16, max_hamming=6
+        ANN_RECALL_QUERY_IDS, ANN_RECALL_K, n_planes=ANN_N_PLANES,
+        max_hamming=6
     )
     return sql

@@ -530,3 +530,58 @@ def test_legacy_repair_with_torn_fragment_no_duplication(
             (e[1], e[2]) for e in exp], q
         for g, e in zip(got, exp):
             assert math.isclose(g["score"], e[3], rel_tol=1e-9)
+
+
+def test_direct_compact_on_crashed_store_repairs(
+        spark, halves, tmp_path_factory, monkeypatch):
+    """Operator runs the 'periodic full merge' compact_store DIRECTLY on
+    a store whose append crashed (staged rows committed, no postings;
+    plus one torn fragment): the compaction must re-SPIMI the orphaned
+    staged pids and refresh stats — pre-fix it flipped phase='built'
+    with those docs unsearchable (r3 review finding)."""
+    import os
+
+    import visionsearch_spark.streaming.incremental as inc
+    from visionsearch_spark.index.spimi import compact_store
+
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_directcompact"))
+    incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after staged append")
+
+    monkeypatch.setattr(inc, "_finish_append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        incremental_build(
+            spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+            root, n_partitions=4)
+    monkeypatch.undo()
+
+    store = IndexStore(root)
+    # additionally tear one committed pid (fragment without manifest)
+    torn_pid = sorted(store.done_partitions())[0]
+    os.remove(store.manifest_path(torn_pid))
+    assert store.orphan_fragments() == [store.fragment_path(torn_pid)]
+
+    store = compact_store(spark, root, n_partitions=4)
+    meta = store.read_meta()
+    assert meta["phase"] == "built"
+    assert meta["n_docs"] == len(full_pdf)          # stats refreshed
+    assert store.orphan_fragments() == []
+    assert len(store.segment_paths()) == 1
+
+    oracle = build_oracle_index(
+        list(full_pdf[["conv_id", "turn_idx", "text"]]
+             .itertuples(index=False, name=None)))
+    ts = spark.read.parquet(*store.term_stats_paths())
+    got_df = {r["term"]: r["df"] for r in
+              ts.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    assert got_df == dict(oracle.df)
+    for q, k in [("join filter", 10), ("xylophone", 5)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp], q

@@ -283,3 +283,54 @@ def test_streaming_dedup_equals_batch_keep_first(spark, tmp_path_factory):
     df = spark.createDataFrame(all_rows, "doc_id long, text string")
     want = sorted(r["keep_id"] for r in exact_dedup(df).collect())
     assert kept == want
+
+
+def test_streaming_dedup_multichunk_batch_keeps_min_id(
+        spark, tmp_path_factory):
+    """A single micro-batch whose hash groups span MULTIPLE Arrow chunks
+    (maxRecordsPerBatch=16, rows spooled in DESCENDING id order so the
+    duplicate with the SMALLER id arrives in a later chunk): the keeper
+    must still be the min id — r3 review: sorting each chunk alone made
+    the in-batch winner arrival-dependent."""
+    from visionsearch_spark.operators.dedup import exact_dedup
+    from visionsearch_spark.streaming.dedup_stream import dedup_stream
+
+    rows = [(i, f"text number {i % 20}") for i in range(100)]  # 5 copies each
+    root = str(tmp_path_factory.mktemp("dedup_chunks"))
+    spool_dir = os.path.join(root, "spool")
+    os.makedirs(spool_dir)
+    desc = sorted(rows, key=lambda r: -r[0])
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in desc], pa.int64()),
+                "text": pa.array([r[1] for r in desc], pa.string()),
+            }
+        ),
+        os.path.join(spool_dir, "0000.parquet"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out = os.path.join(root, "out")
+        q = (
+            dedup_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(spool_dir),
+                n_groups=2,  # 10 texts per group >> 16-row chunks? no —
+                             # 50 rows per group => 4 chunks per group
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(r["keep_id"] for r in exact_dedup(df).collect())
+    assert kept == want == sorted(range(20))

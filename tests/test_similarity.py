@@ -235,3 +235,77 @@ def test_ivf_trained_centroids(spark, emb, tmp_path_factory):
                   cosine_topk_ivf(emb, root, qvec, k=20, nprobe=4).collect()}
         recalls.append(len(exact & approx) / 20.0)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivfpq_full_probe_full_rerank_equals_exact(spark, emb, tmp_path_factory):
+    """nprobe == n_centroids and rerank >= corpus: the PQ codes only
+    preselect, the exact re-rank covers everything => identical to the
+    brute-force scorer."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk_ivfpq,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivfpq_full"))
+    build_ivfpq_index(emb, root, n_centroids=8)
+    n = emb.count()
+    qvec = list(emb.filter(F.col("vec_id") == 2).select("embedding")
+                .limit(1).collect()[0][0])
+    exact = cosine_topk_to_query(emb, qvec, k=12).collect()
+    pq = cosine_topk_ivfpq(emb, root, qvec, k=12, nprobe=8,
+                           rerank=n).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in pq]
+    for a, b in zip(exact, pq):
+        assert abs(a["cos"] - b["cos"]) < 1e-12
+
+
+def test_ivfpq_deterministic_and_compressed(spark, emb, tmp_path_factory):
+    """Codebook training and code assignment are deterministic; the
+    codes sidecar stores m bytes per row (id+cell+codes ~ 20 B vs 256 B
+    of float32 vector)."""
+    import pyarrow.parquet as papq
+
+    from visionsearch_spark.operators.similarity import (
+        PQ_CODES,
+        build_ivfpq_index,
+        train_pq_codebooks,
+    )
+
+    b1 = train_pq_codebooks(emb, m=8, iters=3, seed=13)
+    b2 = train_pq_codebooks(emb, m=8, iters=3, seed=13)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (8, 256, 8)
+
+    roots = []
+    for i in range(2):
+        root = str(tmp_path_factory.mktemp(f"ivfpq_det{i}"))
+        build_ivfpq_index(emb, root, n_centroids=8, books=b1)
+        roots.append(root)
+    t0 = papq.read_table(f"{roots[0]}/{PQ_CODES}").sort_by("id")
+    t1 = papq.read_table(f"{roots[1]}/{PQ_CODES}").sort_by("id")
+    assert t0.equals(t1)
+    assert all(len(c) == 8 for c in t0.column("codes").to_pylist())
+
+
+def test_ivfpq_recall_floor(spark, emb, tmp_path_factory):
+    """Practical config (nprobe=half cells, rerank=4k) clears a recall
+    floor on the fixture corpus — the ANN contract is recall, pinned
+    here because PQ has no static-SQL twin."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk_ivfpq,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivfpq_recall"))
+    build_ivfpq_index(emb, root, n_centroids=8)
+    recalls = []
+    for qid in (0, 1, 2):
+        qvec = list(emb.filter(F.col("vec_id") == qid).select("embedding")
+                    .limit(1).collect()[0][0])
+        exact = {r["vec_id"] for r in
+                 cosine_topk_to_query(emb, qvec, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  cosine_topk_ivfpq(emb, root, qvec, k=10,
+                                    nprobe=4, rerank=40).collect()}
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

@@ -377,6 +377,39 @@ def compact_store(spark: SparkSession, root: str,
     n_partitions = n_partitions or int(meta["n_partitions"])
     for path in store.orphan_fragments():
         os.remove(path)  # uncommitted crash leftovers; staged re-SPIMI covers them
+    # repair BEFORE merging: staged pids without a committed manifest
+    # (crashed append/build) must be re-SPIMI'd here, not silently
+    # dropped — a direct compact_store call on a crashed store would
+    # otherwise flip phase to 'built' with those docs unsearchable
+    # (r3 review finding; the orphan sweep above removed their torn
+    # fragments, this regenerates them from the staged source of truth).
+    staged = spark.read.parquet(store.staged_path)
+    done = store.done_partitions()
+    pending = staged.filter(~F.col("pid").isin(sorted(done))) if done \
+        else staged
+    if not pending.isEmpty():
+        spimi_fn = _make_spimi_fn(
+            store.root, int(meta["shard_range"]), frozenset()
+        )
+        (
+            pending.select("pid", "docid", "dl", "text")
+            .repartition(n_partitions, "pid")
+            .sortWithinPartitions("pid", "docid")
+            .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
+            .count()
+        )
+        # stats in meta are stale after a crashed append — staged is
+        # the source of truth, same rule as _finish_append's repair
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        sum_dl = int(stats["sum_dl"] or 0)
+        meta.update({
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        })
     frags = (
         spark.read.schema(SEGMENT_SCHEMA_DDL)
         .option("pathGlobFilter", "fragment-*.parquet")

@@ -102,7 +102,6 @@ def extract_features(media: DataFrame, feature_dim: int = 16,
 
 
 def byte_histogram_features(media: DataFrame, n_bins: int = 64,
-                            batch_rows: int = 64,
                             normalize: bool = True) -> DataFrame:
     """REAL (no stub) feature extraction over opaque binary payloads: a
     byte-value histogram per payload, vectorized with one np.bincount over

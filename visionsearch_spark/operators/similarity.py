@@ -387,6 +387,226 @@ def cosine_topk_ivf(
     )
 
 
+PQ_META = "pq_meta.json"
+PQ_CODES = "pq_codes"
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 13,
+    sample_mod: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks: the L2-normalized vector splits
+    into m subspaces; each subspace gets an n_codes-entry k-means
+    codebook (euclidean Lloyd, seeded data-point init, fixed iterations —
+    deterministic). Trained on the same bounded modular sample device as
+    train_ivf_centroids. Returns (m, n_codes, dim/m) float64."""
+    rows = (
+        emb.filter((F.col(id_col) % sample_mod) == 0)
+        .select(vec_col).collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        init = rng.choice(len(sub), size=min(n_codes, len(sub)),
+                          replace=False)
+        cb = sub[np.sort(init)].copy()
+        if len(cb) < n_codes:  # tiny sample: pad with seeded noise
+            pad = rng.standard_normal((n_codes - len(cb), dsub)) * 0.01
+            cb = np.concatenate([cb, pad])
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray, vec_col: str):
+    """Arrow-batched PQ encoder: per batch, one distance matmul per
+    subspace ((batch, dsub) vs (n_codes, dsub)), argmin -> uint8 code,
+    m codes packed into a binary(m) cell. Vectors are L2-normalized
+    before coding (cosine regime)."""
+    m, n_codes, dsub = books.shape
+    bk = books.astype(np.float64)
+    bk_sq = (bk ** 2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf("binary")
+    def encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            # |s-c|^2 = |s|^2 - 2 s·c + |c|^2 ; |s|^2 constant per row
+            d2 = bk_sq[j][None, :] - 2.0 * (sub @ bk[j].T)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    root: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 11,
+    pq_seed: int = 13,
+    centroids: np.ndarray | None = None,
+    books: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ sidecar: (id, cell:int, codes:binary(m)) parquet + meta
+    (coarse centroids + PQ codebooks, float64 json round-trip). The
+    compressed form of the FAISS IndexIVFPQ family over the reference's
+    flat index (`faiss_index/core.py:13-16`): a 64-d float32 vector
+    (256 B) becomes m bytes of codes — at 10^12 vectors the candidate
+    scan reads codes only; true vector bytes are touched for the final
+    re-rank set alone."""
+    import json
+
+    first = emb.select(vec_col).limit(1).collect()
+    if not first or first[0][0] is None:
+        raise ValueError(
+            f"build_ivfpq_index: embeddings table is empty or {vec_col!r} "
+            "is null in the first row — nothing to quantize"
+        )
+    dim = len(first[0][0])
+    if centroids is None:
+        centroids = _seeded_centroids(dim, n_centroids, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if books is None:
+        books = train_pq_codebooks(
+            emb, m=m, n_codes=n_codes, seed=pq_seed,
+            vec_col=vec_col, id_col=id_col,
+        )
+    books = np.asarray(books, dtype=np.float64)
+    encode = _pq_encode_udf(books, vec_col)
+    os.makedirs(root, exist_ok=True)
+    (
+        emb.select(
+            F.col(id_col).alias("id"),
+            _ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+            encode(F.col(vec_col)).alias("codes"),
+        )
+        .write.mode("overwrite").parquet(os.path.join(root, PQ_CODES))
+    )
+    meta = {
+        "dim": dim,
+        "n_centroids": int(len(centroids)),
+        "m": int(books.shape[0]),
+        "n_codes": int(books.shape[1]),
+        "seed": seed,
+        "pq_seed": pq_seed,
+        "centroids": [[float(v) for v in c] for c in centroids],
+        "books": [[[float(v) for v in code] for code in book]
+                  for book in books],
+    }
+    tmp = os.path.join(root, PQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, PQ_META))
+
+
+def cosine_topk_ivfpq(
+    emb: DataFrame,
+    root: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over an IVF-PQ sidecar: coarse-probe the top-nprobe cells
+    (driver-side dots, metadata-sized), ADC-score the probed rows' m-byte
+    codes against a per-query lookup table inside mapInArrow (one uint8
+    gather + sum per row — vector bytes never read), take the top
+    `rerank` (default 4k) candidates by approximate inner product, then
+    exact-cosine re-rank ONLY those rows. With nprobe == n_centroids and
+    rerank >= corpus size this degrades to exact brute force (the pytest
+    invariant); the judge of approximation quality is the recall floor
+    pinned in tests."""
+    import json
+
+    with open(os.path.join(root, PQ_META)) as f:
+        meta = json.load(f)
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {meta['dim']}"
+        )
+    rerank = rerank or 4 * k
+    m, n_codes = int(meta["m"]), int(meta["n_codes"])
+    books = np.asarray(meta["books"], dtype=np.float64)
+    dsub = books.shape[2]
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    # ADC table: inner product of each query subvector with each code
+    lut = np.stack([
+        books[j] @ qn[j * dsub:(j + 1) * dsub] for j in range(m)
+    ]).astype(np.float64)  # (m, n_codes)
+    ranked = []
+    for cid, cen in enumerate(meta["centroids"]):
+        d = 0.0
+        for a, b in zip(qv, cen):
+            d += a * b
+        ranked.append((-d, cid))
+    probes = [cid for _, cid in sorted(ranked)[:nprobe]]
+
+    def adc(batches):
+        import pyarrow as pa
+        for batch in batches:
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            blobs = batch.column("codes").to_pylist()
+            if not blobs:
+                continue
+            codes = np.frombuffer(b"".join(blobs), dtype=np.uint8) \
+                .reshape(len(blobs), m).astype(np.int64)
+            approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(approx, pa.float64())],
+                names=["id", "approx"],
+            )
+
+    spark = emb.sparkSession
+    cands = (
+        spark.read.parquet(os.path.join(root, PQ_CODES))
+        .filter(F.col("cell").isin(probes))
+        .select("id", "codes")
+        .mapInArrow(adc, "id long, approx double")
+        .orderBy(F.desc("approx"), F.asc("id"))
+        .limit(rerank)
+        .select(F.col("id").alias(id_col))
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(cands, id_col)
+        .select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _grouped_topk(
     scored: DataFrame, k: int, id_col: str, salt_buckets: int = 32
 ) -> DataFrame:

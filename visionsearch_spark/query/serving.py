@@ -104,27 +104,49 @@ class LocalSearcher:
         return 0 if idxs is None else int(sum(self._ns[i] for i in idxs))
 
     def search_docs(self, query: str, k: int = 5, threshold: float = 0.0,
-                    term_weights: dict[str, float] | None = None,
-                    conv_filter: set[str] | None = None
+                    term_weights: dict[str, float] | None = None
                     ) -> list[tuple[int, str, float]]:
         """Doc-level top-k over a UNIT store: per-unit scores collapse to
         per-document max (units.py semantics, served in-memory). Bounds
         are derived from the loaded docid-ordered conv column — never a
         stored table that an append could leave stale. Over a transcript
         store this collapses turns per conversation (conv-level search).
-        Returns [(first_unit_docid, conv_id, score)].
+        Returns [(first_unit_docid, conv_id, score)]."""
+        collapsed = self._docs_collapsed(query, threshold, term_weights)
+        if collapsed is None:
+            return []
+        uniq, convs, sums = collapsed
+        # tie-break on the PARENT id (== the distributed path's ordering;
+        # docid order can diverge from conv order on appended stores)
+        if uniq.size > k:
+            kth = -np.partition(-sums, k - 1)[k - 1]
+            cand = np.flatnonzero(sums >= kth)
+            order2 = np.lexsort((convs[cand], -sums[cand]))[:k]
+            sel = cand[order2]
+        else:
+            sel = np.lexsort((convs, -sums))
+        return [
+            (int(uniq[i]), str(convs[i]), float(sums[i]))
+            for i in sel
+        ]
 
-        conv_filter: return ONLY those convs, uncut (no k-cut) — the
-        router's representative-docid resolve pass (ShardedSearcher)."""
+    def _docs_collapsed(self, query: str, threshold: float,
+                        term_weights: dict[str, float] | None = None):
+        """Score + double-collapse, PRE-cut: (run_start_docids, convs,
+        max_scores) with one entry per matched conv — run_start is this
+        searcher's MIN matched run-start per conv (runs arrive in docid
+        order and the conv collapse keeps the first). Shared by
+        search_docs and the router, so scatter-gather ranking AND
+        representative resolve cost ONE scoring pass per group."""
         if self._bounds is None:
             conv = self._conv
             if conv.size == 0:
-                return []
+                return None
             change = np.flatnonzero(conv[1:] != conv[:-1]) + 1
             self._bounds = np.concatenate(([0], change)).astype(np.int64)
         units = self._scored(query, threshold, term_weights)
         if units is None or units[0].size == 0:
-            return []
+            return None
         uniq, sums = units
         parent = self._bounds[
             np.searchsorted(self._bounds, uniq, side="right") - 1
@@ -142,27 +164,7 @@ class LocalSearcher:
         st2 = np.concatenate(
             ([0], np.flatnonzero(convs[1:] != convs[:-1]) + 1)
         )
-        convs = convs[st2]
-        uniq = uniq[st2]
-        sums = np.maximum.reduceat(sums, st2)
-        if conv_filter is not None:
-            keep = np.flatnonzero(np.isin(convs, list(conv_filter)))
-            return [
-                (int(uniq[i]), str(convs[i]), float(sums[i])) for i in keep
-            ]
-        # tie-break on the PARENT id (== the distributed path's ordering;
-        # docid order can diverge from conv order on appended stores)
-        if uniq.size > k:
-            kth = -np.partition(-sums, k - 1)[k - 1]
-            cand = np.flatnonzero(sums >= kth)
-            order2 = np.lexsort((convs[cand], -sums[cand]))[:k]
-            sel = cand[order2]
-        else:
-            sel = np.lexsort((convs, -sums))
-        return [
-            (int(uniq[i]), str(convs[i]), float(sums[i]))
-            for i in sel
-        ]
+        return uniq[st2], convs[st2], np.maximum.reduceat(sums, st2)
 
     def _scored(self, query: str, threshold: float,
                 term_weights: dict[str, float] | None = None
@@ -291,31 +293,41 @@ class ShardedSearcher:
                     ) -> list[tuple[int, str, float]]:
         """Doc-level (conv-collapsed) scatter-gather: a parent's units can
         span shard groups, so per-group partial maxes re-merge by conv —
-        score = max across groups. Two phases: rank (per-group top-k,
-        lossless for scores because unit scores are doc-local), then a
-        representative-docid resolve for just the <=k winners. The resolve
-        is needed because a group only reports a conv it RANKED: a group
-        holding the conv's lowest-docid units but beaten to its local
-        top-k by other convs would silently lose the representative that
-        the single full searcher picks (min run-start over ALL matched
-        units). Cost: one extra bounded pass per group over the winner
-        set (postings already decoded+cached from phase 1)."""
+        score = max across groups, representative docid = min run-start
+        over ALL matched units. Each group scores ONCE
+        (LocalSearcher._docs_collapsed); the merge keeps, per conv, the
+        max score and the min group-local run-start — a group holding the
+        conv's lowest-docid units but beaten out of its own top-k still
+        contributes the representative (pre-fix that representative was
+        silently lost, and the naive fix re-scored every group twice)."""
         w = self._weights(query)
         if not w:
             return []
-        best: dict[str, float] = {}
-        for s in self.searchers:
-            for _d, c, sc in s.search_docs(query, k=k, threshold=threshold,
-                                           term_weights=w):
-                cur = best.get(c)
-                best[c] = sc if cur is None else max(cur, sc)
-        ranked = sorted(best.items(), key=lambda h: (-h[1], h[0]))[:k]
-        winners = {c for c, _ in ranked}
-        rep: dict[str, int] = {}
-        for s in self.searchers:
-            for d, c, _sc in s.search_docs(query, threshold=threshold,
-                                           term_weights=w,
-                                           conv_filter=winners):
-                if c not in rep or d < rep[c]:
-                    rep[c] = d
-        return [(rep[c], c, sc) for c, sc in ranked]
+        parts = [
+            c for c in (
+                s._docs_collapsed(query, threshold, term_weights=w)
+                for s in self.searchers
+            ) if c is not None
+        ]
+        if not parts:
+            return []
+        uniq = np.concatenate([p[0] for p in parts])
+        convs = np.concatenate([p[1] for p in parts])
+        sums = np.concatenate([p[2] for p in parts])
+        order = np.argsort(convs, kind="stable")
+        uniq, convs, sums = uniq[order], convs[order], sums[order]
+        st = np.concatenate(
+            ([0], np.flatnonzero(convs[1:] != convs[:-1]) + 1)
+        )
+        convs = convs[st]
+        score = np.maximum.reduceat(sums, st)
+        rep = np.minimum.reduceat(uniq, st)
+        if convs.size > k:
+            kth = -np.partition(-score, k - 1)[k - 1]
+            cand = np.flatnonzero(score >= kth)
+            sel = cand[np.lexsort((convs[cand], -score[cand]))[:k]]
+        else:
+            sel = np.lexsort((convs, -score))
+        return [
+            (int(rep[i]), str(convs[i]), float(score[i])) for i in sel
+        ]

@@ -38,15 +38,23 @@ def dedup_stream(
 
     def fn(key, pdfs, state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
+        chunks = list(pdfs)
+        if not chunks:
+            if state.exists:
+                state.update((sorted(seen),))
+            return
+        # concat THEN sort: a large group spans several Arrow chunks
+        # (maxRecordsPerBatch) in arbitrary arrival order — sorting each
+        # chunk alone would make the in-batch winner nondeterministic
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         out_ids: list[int] = []
         out_hashes: list[str] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col, kind="mergesort")
-            for i, h in zip(pdf[id_col], pdf["_h"]):
-                if h not in seen:
-                    seen.add(h)
-                    out_ids.append(int(i))
-                    out_hashes.append(h)
+        for i, h in zip(pdf[id_col], pdf["_h"]):
+            if h not in seen:
+                seen.add(h)
+                out_ids.append(int(i))
+                out_hashes.append(h)
         state.update((sorted(seen),))
         if out_ids:
             yield pd.DataFrame({"doc_id": out_ids, "text_hash": out_hashes})
