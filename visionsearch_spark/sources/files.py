@@ -1,0 +1,103 @@
+"""File sources beyond parquet: JSONL and CSV transcript readers with
+schema enforcement and corrupt-row routing.
+
+JSONL is the lingua franca of LLM corpora; CSV covers exported logs. The
+reference ingests via HTTP upload + database rows (`api/routers/.../
+ollama_api.py`, `conversation/models.py`); in a Spark pipeline the batch
+equivalents are schema-enforced file reads where a malformed line must
+never kill a 100 TB job NOR silently vanish: PERMISSIVE mode routes
+rejects to a corrupt-record column, and the caller gets both frames.
+
+Everything stays a DataFrame plan — the format readers are Spark's own
+(JVM, splittable, predicate-pushdown where the format allows); this
+module only pins the schema, the timestamp format, and the reject
+policy so every format yields the SAME shape the parquet path yields.
+
+CSV convention (empty-vs-null is ambiguous in the format itself):
+producers must QUOTE string fields ("" = empty string) and write NULL
+as the unquoted \\N sentinel — the reader is pinned to that, and the
+source-parity test round-trips it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+TRANSCRIPT_FIELDS = [
+    T.StructField("conv_id", T.StringType(), True),
+    T.StructField("turn_idx", T.IntegerType(), True),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+]
+REQUIRED = ("conv_id", "turn_idx", "text")
+
+
+def read_transcripts(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+) -> tuple[DataFrame, DataFrame]:
+    """Read a transcripts table from `parquet`, `jsonl`, or `csv`.
+
+    Returns (valid, rejects): `valid` has exactly the transcript schema
+    (conv_id, turn_idx, role, text, tool, ts) with NULLed optional
+    fields allowed; a row lands in `rejects` (original line + reason)
+    when the format parser could not decode it OR a REQUIRED field
+    (conv_id, turn_idx, text) is missing. Parquet is schema-carrying, so
+    its rejects frame is always empty."""
+    if format == "parquet":
+        df = spark.read.parquet(path)
+        valid = df.select(*[f.name for f in TRANSCRIPT_FIELDS])
+        return valid, spark.createDataFrame(
+            [], "line string, reason string"
+        )
+    schema = T.StructType(
+        TRANSCRIPT_FIELDS + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    if format == "jsonl":
+        raw = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+            .json(path)
+        )
+    elif format == "csv":
+        raw = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+            # CSV cannot distinguish "" from NULL; pin NULL to the \N
+            # sentinel (mysqldump convention) so empty strings survive
+            .option("nullValue", "\\N")
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"unknown transcripts format: {format!r}")
+    # Spark requires the corrupt column to be materialized (cached or
+    # selected) before filtering on it — a plan that filters the corrupt
+    # column of a lazily-parsed read is explicitly unsupported
+    raw = raw.cache()
+    parse_bad = F.col(CORRUPT_COL).isNotNull()
+    missing = F.lit(False)
+    for c in REQUIRED:
+        missing = missing | F.col(c).isNull()
+    rejects = raw.filter(parse_bad | missing).select(
+        F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct(*[
+            f.name for f in TRANSCRIPT_FIELDS
+        ]))).alias("line"),
+        F.when(parse_bad, F.lit("parse_error"))
+        .otherwise(F.lit("missing_required_field")).alias("reason"),
+    )
+    valid = raw.filter(~(parse_bad | missing)).select(
+        *[f.name for f in TRANSCRIPT_FIELDS]
+    )
+    return valid, rejects
