@@ -112,3 +112,48 @@ def test_index_from_jsonl_search_identical(spark, trio, tmp_path_factory):
         ]
         for x, y in zip(a, b):
             assert math.isclose(x["score"], y["score"], rel_tol=1e-12)
+
+
+def test_parquet_minimal_columns_ok(spark, tmp_path_factory):
+    """A minimal (conv_id, turn_idx, text) parquet table reads fine;
+    a table missing a REQUIRED column raises a clear error."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    root = str(tmp_path_factory.mktemp("fmt_min"))
+    minimal = os.path.join(root, "min.parquet")
+    papq.write_table(
+        pa.table({"conv_id": ["a"], "turn_idx": pa.array([1], pa.int32()),
+                  "text": ["hello world"]}),
+        minimal,
+    )
+    valid, rej = read_transcripts(spark, minimal, "parquet")
+    assert valid.columns == ["conv_id", "turn_idx", "text"]
+    assert valid.count() == 1 and rej.count() == 0
+
+    broken = os.path.join(root, "broken.parquet")
+    papq.write_table(pa.table({"conv_id": ["a"], "text": ["x"]}), broken)
+    with pytest.raises(ValueError, match="required columns"):
+        read_transcripts(spark, broken, "parquet")
+
+
+def test_build_cli_from_jsonl(trio, tmp_path_factory):
+    """spark-submit entry point end-to-end from JSONL: index builds,
+    rejects land in <output>/rejects, manifest metrics print."""
+    import subprocess
+    import sys
+
+    _, jl_path, _ = trio
+    out = str(tmp_path_factory.mktemp("cli_idx")) + "/idx"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/build_index.py",
+         "--input", jl_path, "--output", out,
+         "--format", "jsonl", "--partitions", "2"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 malformed rows routed" in r.stdout
+    assert "n_docs=40" in r.stdout and "postings=" in r.stdout
+    assert os.path.isdir(os.path.join(out, "rejects"))

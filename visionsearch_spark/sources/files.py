@@ -53,7 +53,17 @@ def read_transcripts(
     its rejects frame is always empty."""
     if format == "parquet":
         df = spark.read.parquet(path)
-        valid = df.select(*[f.name for f in TRANSCRIPT_FIELDS])
+        absent = [c for c in REQUIRED if c not in df.columns]
+        if absent:
+            raise ValueError(
+                f"transcripts table at {path} lacks required columns "
+                f"{absent}"
+            )
+        # optional fields may be absent in minimal tables — select what
+        # exists (build only consumes conv_id/turn_idx/text)
+        valid = df.select(
+            *[f.name for f in TRANSCRIPT_FIELDS if f.name in df.columns]
+        )
         return valid, spark.createDataFrame(
             [], "line string, reason string"
         )
