@@ -318,6 +318,13 @@ def _token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_stats(spark.read.parquet(_p(sf_dir, "documents")))
 
 
+def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import source_mixture
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return source_mixture(docs)
+
+
 PACK_WINDOW = 512
 
 
@@ -578,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_length_stats": _token_length_stats,
             "llm_token_estimate": _llm_token_estimate,
             "pack_documents": _pack_documents,
+            "source_mixture": _source_mixture,
             "deterministic_sample": _deterministic_sample,
             "training_set_filter": _training_set_filter,
             "doc_fingerprint": _doc_fingerprint,
@@ -1265,6 +1273,17 @@ SELECT doc_id,
            p -> CAST(ceil(length(p) / {BPE_CHARS_PER_TOKEN}.0) AS BIGINT)
        )), 0)::BIGINT AS est_tokens
 FROM documents
+"""
+    sql["source_mixture"] = f"""
+WITH d AS (SELECT source, len({toks}) AS n FROM documents),
+a AS (
+  SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM a), 6)
+         AS token_share
+FROM a
 """
     sql["pack_documents"] = f"""
 WITH d AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),

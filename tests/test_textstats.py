@@ -206,3 +206,24 @@ def test_pack_documents_semantics(spark):
             assert total > window - max_doc, (b, total)
     # bins are dense 0..last
     assert set(bins) == set(range(last + 1))
+
+
+def test_source_mixture_shares(spark):
+    from visionsearch_spark.operators.textstats import source_mixture
+
+    rows = [
+        (0, "a b c", "web"), (1, "a b", "web"),
+        (2, "x y z w", "code"), (3, "q", "chat"),
+    ]
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["token_share"])
+        for r in source_mixture(
+            spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ).collect()
+    }
+    assert got == {
+        "web": (2, 5, round(5 / 10, 6)),
+        "code": (1, 4, round(4 / 10, 6)),
+        "chat": (1, 1, round(1 / 10, 6)),
+    }
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-6

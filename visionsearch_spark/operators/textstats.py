@@ -136,6 +136,37 @@ def llm_token_estimate(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, est.alias("est_tokens"))
 
 
+def source_mixture(docs: DataFrame, text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Training-mixture accounting: per source, document count, token
+    count, and share of corpus tokens — the inputs a mixture-weighting /
+    sampling-ratio step consumes. One scan + one partial-aggregated
+    groupBy; the share is computed with a global window over the
+    AGGREGATED frame only (cardinality = number of sources, bounded by
+    construction — never the row count), so the single-partition window
+    task holds a handful of rows at any corpus size. Returns
+    (source, n_docs, n_tokens, token_share)."""
+    from pyspark.sql import Window
+
+    agg = (
+        docs.select(source_col,
+                    F.size(tokens_col(text_col)).alias("n_tokens"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6)
+        .alias("token_share"),
+    )
+
+
 def pack_documents(docs: DataFrame, window: int = 512,
                    text_col: str = "text", id_col: str = "doc_id"
                    ) -> DataFrame:
