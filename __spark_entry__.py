@@ -972,7 +972,7 @@ SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 
 
 def _ann_recall_oracle(qids: list[int], k: int, n_planes: int = 16,
-                       max_hamming: int = 6) -> str:
+                       max_hamming: int = 6, seed: int = 7) -> str:
     """Per-query recall@k = |approx ∩ exact| / k, both sides replayed in
     SQL (nested-WITH subqueries under INTERSECT — fine in DuckDB 1.0)."""
     blocks = [
@@ -981,7 +981,7 @@ SELECT {qid}::BIGINT AS query_vec_id,
        round(count(*) * 1.0 / {k}, 6) AS recall
 FROM (
   ({_ann_lsh_oracle(k=k, n_planes=n_planes, max_hamming=max_hamming,
-                    qid=qid, ids_only=True)})
+                    seed=seed, qid=qid, ids_only=True)})
   INTERSECT
   ({_exact_topk_oracle(k, qid)})
 )"""
@@ -1364,6 +1364,6 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
     )
     sql["ann_recall_at_k"] = _ann_recall_oracle(
         ANN_RECALL_QUERY_IDS, ANN_RECALL_K, n_planes=ANN_N_PLANES,
-        max_hamming=6
+        max_hamming=6, seed=ANN_SEED
     )
     return sql

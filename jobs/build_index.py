@@ -33,7 +33,10 @@ def main() -> None:
     from visionsearch_spark.index.spimi import build_index
     from visionsearch_spark.sources.files import read_transcripts
 
-    tx, rejects = read_transcripts(spark, args.input, args.format)
+    cache_handle: list = []
+    tx, rejects = read_transcripts(
+        spark, args.input, args.format, unpersist_handle=cache_handle
+    )
     if args.format != "parquet":
         rej_path = os.path.join(args.output, "rejects")
         rejects.write.mode("overwrite").parquet(rej_path)
@@ -44,6 +47,8 @@ def main() -> None:
         tx.select("conv_id", "turn_idx", "text"), args.output,
         n_partitions=args.partitions, n_shards=args.shards,
     )
+    for cached in cache_handle:  # staged table supersedes the source cache
+        cached.unpersist()
     meta = store.read_meta()
     manifests = store.manifests()
     done = [m for m in manifests if m["status"] == "done"]

@@ -585,3 +585,55 @@ def test_direct_compact_on_crashed_store_repairs(
         got = topk(spark, store, q, k=k).collect()
         assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
             (e[1], e[2]) for e in exp], q
+
+
+def test_direct_compact_after_full_spimi_crash_refreshes_stats(
+        spark, halves, tmp_path_factory, monkeypatch):
+    """Crash AFTER every SPIMI manifest committed but BEFORE the meta
+    flip: nothing is pending, yet stats are pre-append. A direct
+    compact_store must refresh them (gated on phase='appending', not on
+    pending work — r3 review round 3)."""
+    import visionsearch_spark.streaming.incremental as inc
+    from visionsearch_spark.index.spimi import compact_store, spimi_pending
+
+    first_pdf, full_pdf = halves
+    root = str(tmp_path_factory.mktemp("idx_statsgate"))
+    incremental_build(
+        spark.createDataFrame(first_pdf, schema=TRANSCRIPTS_SCHEMA),
+        root, n_partitions=4)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after staged append")
+
+    monkeypatch.setattr(inc, "_finish_append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        incremental_build(
+            spark.createDataFrame(full_pdf, schema=TRANSCRIPTS_SCHEMA),
+            root, n_partitions=4)
+    monkeypatch.undo()
+
+    store = IndexStore(root)
+    meta = store.read_meta()
+    # manually complete the SPIMI stage (the crash point under test)
+    assert spimi_pending(spark, store, int(meta["shard_range"]), 4)
+    assert store.read_meta()["n_docs"] == len(first_pdf)  # stale
+    assert store.read_meta()["phase"] == "appending"
+
+    store = compact_store(spark, root, n_partitions=4)
+    meta = store.read_meta()
+    assert meta["phase"] == "built"
+    assert meta["n_docs"] == len(full_pdf)
+    assert abs(
+        meta["avgdl"] - meta["sum_dl"] / meta["n_docs"]
+    ) < 1e-12
+
+    oracle = build_oracle_index(
+        list(full_pdf[["conv_id", "turn_idx", "text"]]
+             .itertuples(index=False, name=None)))
+    for q, k in [("join filter", 10)]:
+        exp = oracle_search(oracle, q, k=k)
+        got = topk(spark, store, q, k=k).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == [
+            (e[1], e[2]) for e in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[3], rel_tol=1e-9)

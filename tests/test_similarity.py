@@ -309,3 +309,28 @@ def test_ivfpq_recall_floor(spark, emb, tmp_path_factory):
                                     nprobe=4, rerank=40).collect()}
         recalls.append(len(exact & approx) / 10.0)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivfpq_null_embedding_tolerated(spark, tmp_path_factory):
+    """One null embedding must not kill the build (null codes row) nor
+    the query (ADC skips null codes); training drops nulls."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk_ivfpq,
+        cosine_topk_to_query,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(40)]
+    rows.append((40, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = str(tmp_path_factory.mktemp("ivfpq_null"))
+    build_ivfpq_index(df, root, n_centroids=4, m=4)
+    qvec = rows[0][1]
+    got = cosine_topk_ivfpq(df, root, qvec, k=5, nprobe=4,
+                            rerank=41).collect()
+    want = cosine_topk_to_query(
+        df.filter(F.col("embedding").isNotNull()), qvec, k=5
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]

@@ -157,3 +157,36 @@ def test_build_cli_from_jsonl(trio, tmp_path_factory):
     assert "2 malformed rows routed" in r.stdout
     assert "n_docs=40" in r.stdout and "postings=" in r.stdout
     assert os.path.isdir(os.path.join(out, "rejects"))
+
+
+def test_csv_embedded_newlines_and_quotes(spark, tmp_path_factory):
+    """RFC-4180 quoting round-trips: text with embedded newlines and
+    doubled quotes parses intact (multiLine + escape='\"' pinned in the
+    reader — r3 review: defaults tore such records)."""
+    import csv as _csv
+
+    import pandas as pd
+
+    rows = [
+        ("c1", 1, "user", 'line1\nline2 and a "quoted" word', "", "2025-01-01T00:00:00.000000"),
+        ("c1", 2, "user", "plain text", "", "2025-01-01T00:00:01.000000"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    path = os.path.join(str(tmp_path_factory.mktemp("csv_nl")), "t.csv")
+    pdf.to_csv(path, index=False, quoting=_csv.QUOTE_ALL)
+    valid, rej = read_transcripts(spark, path, "csv")
+    assert rej.count() == 0
+    got = {r["turn_idx"]: r["text"] for r in valid.collect()}
+    assert got[1] == 'line1\nline2 and a "quoted" word'
+    assert got[2] == "plain text"
+
+
+def test_read_transcripts_unpersist_handle(spark, trio):
+    handle = []
+    valid, rejects = read_transcripts(spark, trio[1], "jsonl",
+                                      unpersist_handle=handle)
+    assert valid.count() == N_GOOD and rejects.count() == 2
+    assert len(handle) == 1 and handle[0].is_cached
+    handle[0].unpersist()
+    assert not handle[0].is_cached

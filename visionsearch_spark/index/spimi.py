@@ -307,21 +307,8 @@ def build_index(
     meta = store.read_meta()
 
     # ---- SPIMI over pending partitions (resume = skip committed pids) ----
-    done = store.done_partitions()
-    staged = spark.read.parquet(store.staged_path)
-    pending = staged
-    if done:
-        pending = staged.filter(~F.col("pid").isin(sorted(done)))
-    spimi_fn = _make_spimi_fn(
-        store.root, int(meta["shard_range"]), frozenset(fail_partitions)
-    )
-    (
-        pending.select("pid", "docid", "dl", "text")
-        .repartition(int(meta["n_partitions"]), "pid")
-        .sortWithinPartitions("pid", "docid")
-        .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
-        .count()  # execute; manifests + fragments are the real output
-    )
+    spimi_pending(spark, store, int(meta["shard_range"]), n_partitions,
+                  fail_pids=frozenset(fail_partitions))
     mark("spimi")
 
     # ---- merge/compact fragments -> term_stats + segments (next epoch) ----
@@ -364,6 +351,33 @@ def build_index(
     return store
 
 
+def spimi_pending(spark: SparkSession, store: IndexStore, shard_range: int,
+                  n_partitions: int,
+                  fail_pids: frozenset[int] = frozenset(),
+                  pending: DataFrame | None = None) -> bool:
+    """Run the SPIMI stage over every staged pid WITHOUT a committed
+    manifest (resume/repair/build all share this exact pipeline — a
+    drifted copy silently diverges the repair path from the build path,
+    hence ONE implementation). Returns True iff any pid was pending."""
+    staged = spark.read.parquet(store.staged_path)
+    if pending is None:
+        done = store.done_partitions()
+        pending = staged
+        if done:
+            pending = staged.filter(~F.col("pid").isin(sorted(done)))
+    if pending.isEmpty():
+        return False
+    spimi_fn = _make_spimi_fn(store.root, shard_range, fail_pids)
+    (
+        pending.select("pid", "docid", "dl", "text")
+        .repartition(n_partitions, "pid")
+        .sortWithinPartitions("pid", "docid")
+        .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
+        .count()  # execute; manifests + fragments are the real output
+    )
+    return True
+
+
 def compact_store(spark: SparkSession, root: str,
                   n_partitions: int | None = None) -> IndexStore:
     """Full compaction (the LSM maintenance job): merge ALL fragments into
@@ -383,24 +397,16 @@ def compact_store(spark: SparkSession, root: str,
     # otherwise flip phase to 'built' with those docs unsearchable
     # (r3 review finding; the orphan sweep above removed their torn
     # fragments, this regenerates them from the staged source of truth).
-    staged = spark.read.parquet(store.staged_path)
-    done = store.done_partitions()
-    pending = staged.filter(~F.col("pid").isin(sorted(done))) if done \
-        else staged
-    if not pending.isEmpty():
-        spimi_fn = _make_spimi_fn(
-            store.root, int(meta["shard_range"]), frozenset()
-        )
-        (
-            pending.select("pid", "docid", "dl", "text")
-            .repartition(n_partitions, "pid")
-            .sortWithinPartitions("pid", "docid")
-            .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
-            .count()
-        )
-        # stats in meta are stale after a crashed append — staged is
-        # the source of truth, same rule as _finish_append's repair
-        stats = staged.agg(
+    repaired = spimi_pending(
+        spark, store, int(meta["shard_range"]), n_partitions
+    )
+    if repaired or meta.get("phase") == "appending":
+        # stats in meta are stale after a crashed append — staged is the
+        # source of truth, same rule as _finish_append's repair. The
+        # phase check matters on its own: a crash AFTER every SPIMI
+        # manifest committed but BEFORE the meta flip leaves nothing
+        # pending yet stats still pre-append.
+        stats = spark.read.parquet(store.staged_path).agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
         ).collect()[0]
         n_docs = int(stats["n"])

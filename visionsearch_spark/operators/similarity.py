@@ -410,7 +410,12 @@ def train_pq_codebooks(
         emb.filter((F.col(id_col) % sample_mod) == 0)
         .select(vec_col).collect()
     )
-    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    vecs = [r[0] for r in rows if r[0] is not None]  # nulls excluded
+    if not vecs:
+        raise ValueError(
+            "train_pq_codebooks: sample contains no non-null vectors"
+        )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     dim = x.shape[1]
     if dim % m != 0:
@@ -427,7 +432,10 @@ def train_pq_codebooks(
             pad = rng.standard_normal((n_codes - len(cb), dsub)) * 0.01
             cb = np.concatenate([cb, pad])
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # argmin of |s-c|^2 == argmin of |c|^2 - 2 s·c (|s|^2 is
+            # per-row constant): an (n, n_codes) temp, NOT the
+            # (n, n_codes, dsub) broadcast (16 GB/iter at a 1M sample)
+            d2 = (cb ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
             assign = np.argmin(d2, axis=1)
             for c in range(n_codes):
                 members = sub[assign == c]
@@ -450,15 +458,24 @@ def _pq_encode_udf(books: np.ndarray, vec_col: str):
     def encode(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-        codes = np.empty((len(x), m), dtype=np.uint8)
-        for j in range(m):
-            sub = x[:, j * dsub:(j + 1) * dsub]
-            # |s-c|^2 = |s|^2 - 2 s·c + |c|^2 ; |s|^2 constant per row
-            d2 = bk_sq[j][None, :] - 2.0 * (sub @ bk[j].T)
-            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
-        return pd.Series([c.tobytes() for c in codes])
+        vals = v.to_numpy()
+        # null embeddings yield null codes (the query-side scan drops
+        # them) — one bad row must never kill a corpus-sized build
+        valid = [i for i, x in enumerate(vals) if x is not None]
+        out: list = [None] * len(vals)
+        if valid:
+            x = np.stack([np.asarray(vals[i], dtype=np.float64)
+                          for i in valid])
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                # |s-c|^2 = |s|^2 - 2 s·c + |c|^2 ; |s|^2 constant/row
+                d2 = bk_sq[j][None, :] - 2.0 * (sub @ bk[j].T)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            for row, i in enumerate(valid):
+                out[i] = codes[row].tobytes()
+        return pd.Series(out)
 
     return encode
 
@@ -471,6 +488,8 @@ def build_ivfpq_index(
     n_codes: int = 256,
     seed: int = 11,
     pq_seed: int = 13,
+    pq_iters: int = 10,
+    sample_mod: int = 1,
     centroids: np.ndarray | None = None,
     books: np.ndarray | None = None,
     vec_col: str = "embedding",
@@ -496,9 +515,12 @@ def build_ivfpq_index(
         centroids = _seeded_centroids(dim, n_centroids, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
     if books is None:
+        # sample_mod bounds the driver-side training collect (pick it so
+        # the sample is ~1M vectors at corpus scale — same device and
+        # same reason as train_ivf_centroids)
         books = train_pq_codebooks(
-            emb, m=m, n_codes=n_codes, seed=pq_seed,
-            vec_col=vec_col, id_col=id_col,
+            emb, m=m, n_codes=n_codes, iters=pq_iters, seed=pq_seed,
+            sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
         )
     books = np.asarray(books, dtype=np.float64)
     encode = _pq_encode_udf(books, vec_col)
@@ -578,10 +600,13 @@ def cosine_topk_ivfpq(
         for batch in batches:
             ids = batch.column("id").to_numpy(zero_copy_only=False)
             blobs = batch.column("codes").to_pylist()
-            if not blobs:
+            keep = [i for i, b in enumerate(blobs) if b is not None]
+            if not keep:  # null-embedding rows carry null codes
                 continue
-            codes = np.frombuffer(b"".join(blobs), dtype=np.uint8) \
-                .reshape(len(blobs), m).astype(np.int64)
+            ids = ids[keep]
+            codes = np.frombuffer(
+                b"".join(blobs[i] for i in keep), dtype=np.uint8
+            ).reshape(len(keep), m).astype(np.int64)
             approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(approx, pa.float64())],

@@ -14,9 +14,14 @@ module only pins the schema, the timestamp format, and the reject
 policy so every format yields the SAME shape the parquet path yields.
 
 CSV convention (empty-vs-null is ambiguous in the format itself):
-producers must QUOTE string fields ("" = empty string) and write NULL
-as the unquoted \\N sentinel — the reader is pinned to that, and the
-source-parity test round-trips it.
+producers must QUOTE string fields ("" = empty string, doubled quotes
+per RFC 4180) and write NULL as the unquoted \\N sentinel — the reader
+is pinned to that (escape='"', multiLine=true so quoted embedded
+newlines survive). Two CSV caveats, both format-inherent: multiLine
+reads are NOT splittable (one task per file — ship many files, or
+prefer JSONL/parquet for large corpora), and with an enforced schema
+Spark maps CSV columns POSITIONALLY (the header row is skipped, not
+matched by name) — producers must emit columns in the transcript order.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ def read_transcripts(
     spark: SparkSession,
     path: str,
     format: str = "parquet",
+    unpersist_handle: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read a transcripts table from `parquet`, `jsonl`, or `csv`.
 
@@ -50,7 +56,13 @@ def read_transcripts(
     fields allowed; a row lands in `rejects` (original line + reason)
     when the format parser could not decode it OR a REQUIRED field
     (conv_id, turn_idx, text) is missing. Parquet is schema-carrying, so
-    its rejects frame is always empty."""
+    its rejects frame is always empty.
+
+    Non-parquet reads must be CACHED to split on the corrupt column
+    (Spark rejects filtering it from the lazily-parsed relation); pass
+    `unpersist_handle` (same convention as docid.dense_ids) to receive
+    the cached frame and release it after consuming both outputs —
+    long-lived sessions that skip this accumulate cached partitions."""
     if format == "parquet":
         df = spark.read.parquet(path)
         absent = [c for c in REQUIRED if c not in df.columns]
@@ -88,6 +100,10 @@ def read_transcripts(
             # CSV cannot distinguish "" from NULL; pin NULL to the \N
             # sentinel (mysqldump convention) so empty strings survive
             .option("nullValue", "\\N")
+            # RFC-4180 quoting: "" escapes a quote (Spark defaults to
+            # backslash) and quoted fields may span lines
+            .option("escape", '"')
+            .option("multiLine", "true")
             .csv(path)
         )
     else:
@@ -96,6 +112,8 @@ def read_transcripts(
     # selected) before filtering on it — a plan that filters the corrupt
     # column of a lazily-parsed read is explicitly unsupported
     raw = raw.cache()
+    if unpersist_handle is not None:
+        unpersist_handle.append(raw)
     parse_bad = F.col(CORRUPT_COL).isNotNull()
     missing = F.lit(False)
     for c in REQUIRED:

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from visionsearch_spark.analyzer import tokens_col
 from visionsearch_spark.docid import assign_docids_with_count
 from visionsearch_spark.index.store import (
-    MANIFEST_SCHEMA_DDL,
     SEGMENT_SCHEMA_DDL,
     IndexStore,
 )
@@ -186,7 +185,7 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
     update incrementally — no O(N) staged re-scan per append. Repair
     re-runs and legacy metas (no sum_dl) fall back to the full scan; the
     staged table remains the source of truth either way."""
-    from visionsearch_spark.index.spimi import _compact_segments, _make_spimi_fn
+    from visionsearch_spark.index.spimi import _compact_segments, spimi_pending
 
     sdf = spark.read.parquet(store.staged_path)
     if delta_stats is not None and meta.get("sum_dl") is not None:
@@ -199,20 +198,7 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
-    pending = sdf
-    done = store.done_partitions()
-    if done:
-        pending = sdf.filter(~F.col("pid").isin(sorted(done)))
-    spimi_fn = _make_spimi_fn(
-        store.root, int(meta["shard_range"]), frozenset()
-    )
-    (
-        pending.select("pid", "docid", "dl", "text")
-        .repartition(n_partitions, "pid")
-        .sortWithinPartitions("pid", "docid")
-        .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
-        .count()
-    )
+    spimi_pending(spark, store, int(meta["shard_range"]), n_partitions)
 
     # O(delta) merge: compact ONLY the fragments no live dir covers into
     # ONE new segments/term_stats dir and ADD it to the live lists — old
