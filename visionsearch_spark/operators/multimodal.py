@@ -74,8 +74,7 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     return (arr.astype(np.float32) / 255.0).reshape(4, 4, 4)
 
 
-def extract_features(media: DataFrame, feature_dim: int = 16,
-                     batch_rows: int = 64) -> DataFrame:
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     """Batch feature extraction over binary payloads via mapInPandas.
 
     The Arrow batch shape (bounded rows, whole-column numpy kernels, no
