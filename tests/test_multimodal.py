@@ -115,3 +115,27 @@ def test_byte_histogram_features(media, spark):
 
     with pytest.raises(ValueError, match="divide 256"):
         byte_histogram_features(media, n_bins=17)
+
+
+def test_byte_histogram_null_payload_yields_null_features(spark):
+    """A null payload must not kill the job (same one-bad-row policy as
+    the PQ encoder): the row comes through with features = NULL, valid
+    rows unaffected."""
+    import pyspark.sql.types as T
+
+    from visionsearch_spark.operators.multimodal import (
+        byte_histogram_features,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(0, b"\x00\x01\x02\x03"), (1, None), (2, b"\xff" * 8)], schema
+    )
+    got = {r["media_id"]: r["features"]
+           for r in byte_histogram_features(df, n_bins=4).collect()}
+    assert got[1] is None
+    assert got[0] is not None and abs(sum(got[0]) - 1.0) < 1e-6
+    assert got[2] is not None and got[2][3] == pytest.approx(1.0)

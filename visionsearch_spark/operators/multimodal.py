@@ -119,22 +119,30 @@ def byte_histogram_features(media: DataFrame, n_bins: int = 64,
         for pdf in batches:
             if not len(pdf):
                 continue
-            blobs = [np.frombuffer(bytes(p), dtype=np.uint8)
-                     for p in pdf["payload"]]
-            lens = np.array([b.size for b in blobs], dtype=np.int64)
-            flat = (np.concatenate(blobs) if lens.sum()
-                    else np.array([], dtype=np.uint8))
-            # one bincount over row_idx*n_bins + bin — whole-batch kernel
-            row_idx = np.repeat(np.arange(len(blobs)), lens)
-            keys = row_idx * n_bins + (flat.astype(np.int64) // shrink)
-            hist = np.bincount(
-                keys, minlength=len(blobs) * n_bins
-            ).reshape(len(blobs), n_bins).astype(np.float32)
-            if normalize:
-                denom = np.maximum(lens, 1).astype(np.float32)[:, None]
-                hist = hist / denom
+            # null payloads get null features — one bad row must never
+            # kill a corpus-sized build (same policy as _pq_encode_udf)
+            payloads = pdf["payload"].tolist()
+            valid = [i for i, p in enumerate(payloads) if p is not None]
+            feats: list = [None] * len(payloads)
+            if valid:
+                blobs = [np.frombuffer(bytes(payloads[i]), dtype=np.uint8)
+                         for i in valid]
+                lens = np.array([b.size for b in blobs], dtype=np.int64)
+                flat = (np.concatenate(blobs) if lens.sum()
+                        else np.array([], dtype=np.uint8))
+                # one bincount over row_idx*n_bins + bin — whole-batch kernel
+                row_idx = np.repeat(np.arange(len(blobs)), lens)
+                keys = row_idx * n_bins + (flat.astype(np.int64) // shrink)
+                hist = np.bincount(
+                    keys, minlength=len(blobs) * n_bins
+                ).reshape(len(blobs), n_bins).astype(np.float32)
+                if normalize:
+                    denom = np.maximum(lens, 1).astype(np.float32)[:, None]
+                    hist = hist / denom
+                for row, i in enumerate(valid):
+                    feats[i] = hist[row]
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": list(hist)}
+                {"media_id": pdf["media_id"], "features": feats}
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, out_ddl)

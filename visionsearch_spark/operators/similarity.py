@@ -239,12 +239,24 @@ def _seeded_centroids(dim: int, n_centroids: int, seed: int = 11) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _bounded_sample_mod(emb: DataFrame, id_col: str,
+                        target_sample: int) -> int:
+    """Derive the modular-sampling stride so the training collect is
+    bounded by construction: ceil(count / target_sample). The count() is
+    one cheap metadata-ish aggregation (parquet row-group counts at best,
+    one columnar scan at worst) — categorically cheaper than the
+    unbounded full-table collect the default otherwise risks."""
+    n = emb.count()
+    return max(1, -(-n // max(1, target_sample)))
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
     iters: int = 10,
     seed: int = 11,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
+    target_sample: int = 1_000_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> np.ndarray:
@@ -252,12 +264,16 @@ def train_ivf_centroids(
     numpy) — the trained coarse quantizer for :func:`build_ivf_index`.
 
     Sampling is `id % sample_mod == 0` (scale-out invariant, same device
-    as textstats.deterministic_sample): at 100 TB pick sample_mod so the
-    sample is ~1M vectors — IVF quantizers are conventionally trained on a
-    bounded sample (FAISS trains IVF coarse quantizers the same way), so
-    the driver-side collect is bounded by construction, not by luck.
+    as textstats.deterministic_sample). By DEFAULT sample_mod is derived
+    from a cheap count() against `target_sample` (~1M, the conventional
+    IVF training-sample size — FAISS trains coarse quantizers on bounded
+    samples the same way), so the driver-side collect is bounded by
+    construction: `train_ivf_centroids(emb)` with no args can never
+    collect an unbounded table. Pass sample_mod explicitly to override.
     Deterministic: seeded init, fixed iteration count, argmax ties go to
     the lowest centroid id (numpy argmax picks the first maximum)."""
+    if sample_mod is None:
+        sample_mod = _bounded_sample_mod(emb, id_col, target_sample)
     rows = (
         emb.filter((F.col(id_col) % sample_mod) == 0)
         .select(vec_col).collect()
@@ -397,7 +413,8 @@ def train_pq_codebooks(
     n_codes: int = 256,
     iters: int = 10,
     seed: int = 13,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
+    target_sample: int = 1_000_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> np.ndarray:
@@ -405,7 +422,11 @@ def train_pq_codebooks(
     into m subspaces; each subspace gets an n_codes-entry k-means
     codebook (euclidean Lloyd, seeded data-point init, fixed iterations —
     deterministic). Trained on the same bounded modular sample device as
-    train_ivf_centroids. Returns (m, n_codes, dim/m) float64."""
+    train_ivf_centroids: sample_mod defaults to ceil(count/target_sample)
+    so the no-args call can never drive an unbounded collect. Returns
+    (m, n_codes, dim/m) float64."""
+    if sample_mod is None:
+        sample_mod = _bounded_sample_mod(emb, id_col, target_sample)
     rows = (
         emb.filter((F.col(id_col) % sample_mod) == 0)
         .select(vec_col).collect()
@@ -489,7 +510,8 @@ def build_ivfpq_index(
     seed: int = 11,
     pq_seed: int = 13,
     pq_iters: int = 10,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
+    target_sample: int = 1_000_000,
     centroids: np.ndarray | None = None,
     books: np.ndarray | None = None,
     vec_col: str = "embedding",
@@ -515,12 +537,13 @@ def build_ivfpq_index(
         centroids = _seeded_centroids(dim, n_centroids, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
     if books is None:
-        # sample_mod bounds the driver-side training collect (pick it so
-        # the sample is ~1M vectors at corpus scale — same device and
-        # same reason as train_ivf_centroids)
+        # the training collect is bounded BY DEFAULT: sample_mod derives
+        # from count()/target_sample inside train_pq_codebooks, so the
+        # no-args build can never drive an unbounded driver collect
         books = train_pq_codebooks(
             emb, m=m, n_codes=n_codes, iters=pq_iters, seed=pq_seed,
-            sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
+            sample_mod=sample_mod, target_sample=target_sample,
+            vec_col=vec_col, id_col=id_col,
         )
     books = np.asarray(books, dtype=np.float64)
     encode = _pq_encode_udf(books, vec_col)

@@ -108,7 +108,11 @@ def token_length_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
-BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# whitespace as an EXPLICIT class, not \s: Java regex (Spark) counts
+# \x0B in \s, RE2 (the DuckDB twin) does not — the explicit class is the
+# Java set spelled out, so both engines tokenize \x0B-bearing docs
+# identically and the operator's exact-parity contract holds on real data
+BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]"
 BPE_CHARS_PER_TOKEN = 4
 
 
@@ -168,8 +172,8 @@ def source_mixture(docs: DataFrame, text_col: str = "text",
 
 
 def pack_documents(docs: DataFrame, window: int = 512,
-                   text_col: str = "text", id_col: str = "doc_id"
-                   ) -> DataFrame:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   unpersist_handle: list | None = None) -> DataFrame:
     """Greedy sequence packing for training: assign docs (in id order) to
     context-window bins of `window` tokens with BOUNDED overflow —
     bin_id = (tokens_before_this_doc) DIV window, so each bin holds at
@@ -181,11 +185,17 @@ def pack_documents(docs: DataFrame, window: int = 512,
     the dense_ids two-phase recipe — no global window, no funnel task
     (docid.prefix_sum). Integer DIV both here and in the DuckDB twin:
     no float rounding at bin boundaries. Returns
-    (doc_id, n_tokens, bin_id)."""
+    (doc_id, n_tokens, bin_id).
+
+    prefix_sum persists its ranged frame (sampling determinism); pass
+    `unpersist_handle` (a list) to receive that persisted DataFrame and
+    unpersist it once the result is materialized — the dense_ids
+    convention; long-lived sessions leak cached partitions otherwise."""
     from visionsearch_spark.docid import prefix_sum
 
     d = docs.select(id_col, F.size(tokens_col(text_col)).alias("n_tokens"))
-    c = prefix_sum(d, id_col, "n_tokens", out_col="_cum")
+    c = prefix_sum(d, id_col, "n_tokens", out_col="_cum",
+                   unpersist_handle=unpersist_handle)
     return c.select(
         id_col,
         "n_tokens",

@@ -317,8 +317,11 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
 # listing + footer reads cost ~0.1 s per spark.read.parquet — pure fixed
 # overhead per interactive query. Segment dirs are immutable (LSM), and
 # the meta mtime key ages entries out after an append/compaction flips
-# the live-dir list.
+# the live-dir list. LRU-capped: a long-lived driver touching many
+# DIFFERENT stores must not pin plans without bound — misses just re-run
+# spark.read.parquet.
 _SEG_DF_CACHE: dict[tuple, DataFrame] = {}
+_SEG_DF_CACHE_MAX = 16
 
 
 def _segments_df(spark: SparkSession, store: IndexStore) -> DataFrame:
@@ -326,14 +329,16 @@ def _segments_df(spark: SparkSession, store: IndexStore) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, store.root,
            os.path.getmtime(store.meta_path))
-    df = _SEG_DF_CACHE.get(key)
+    df = _SEG_DF_CACHE.pop(key, None)  # pop+reinsert = move to LRU tail
     if df is None:
         # drop superseded snapshots of the same root (bounded cache)
         for k in [k for k in _SEG_DF_CACHE
                   if k[0] == key[0] and k[1] == key[1]]:
             _SEG_DF_CACHE.pop(k, None)
         df = spark.read.parquet(*store.segment_paths())
-        _SEG_DF_CACHE[key] = df
+    _SEG_DF_CACHE[key] = df
+    while len(_SEG_DF_CACHE) > _SEG_DF_CACHE_MAX:
+        _SEG_DF_CACHE.pop(next(iter(_SEG_DF_CACHE)))
     return df
 
 
