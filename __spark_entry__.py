@@ -523,6 +523,59 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+IVFPQ_M = 8  # 64-d embeddings -> 8 subspaces of 8 dims
+
+
+def _ivfpq_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+corpus) the persisted IVF-PQ sidecar:
+    static seeded coarse quantizer + TRAINED PQ codebooks (bounded
+    sample). The codebooks are k-means-trained and so not SQL-replayable
+    — which is exactly why the contract query runs the DEGENERATE-EXACT
+    config (see _ann_ivfpq_topk)."""
+    import hashlib
+    import tempfile
+
+    from visionsearch_spark.operators.similarity import (
+        PQ_META,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    key = hashlib.sha1(
+        f"ivfpq-v1:k={IVF_N_CENTROIDS}:m={IVFPQ_M}:seed={IVF_SEED}:"
+        f"{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_ivfpq_{key}")
+    if not os.path.exists(os.path.join(root, PQ_META)):
+        build_ivfpq_index(emb, root, n_centroids=IVF_N_CENTROIDS,
+                          m=IVFPQ_M, seed=IVF_SEED)
+    return root
+
+
+def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN in DEGENERATE-EXACT mode, putting the whole build+query
+    machinery (cell assignment, ADC code scan in mapInArrow, exact
+    re-rank) under the driver's value check: with nprobe == n_centroids
+    every cell is probed, and with rerank >= corpus size every probed row
+    survives the approximate cut — so the final exact-cosine re-rank is
+    provably identical to brute force regardless of codebook content
+    (the reference's exhaustive-exactness-as-truth semantics,
+    `/root/reference/visionsearch/common_utils/indexing/faiss_index/core.py:13-16`).
+    The DuckDB twin is therefore the exact cosine top-k SQL. Practical
+    (nprobe < n_centroids) configs are covered by the pytest recall
+    floor, which is the honest contract for a lossy index."""
+    from visionsearch_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    root = _ivfpq_root(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding") \
+        .limit(1).collect()[0][0]
+    return cosine_topk_ivfpq(
+        emb, root, list(qvec), k=20, nprobe=IVF_N_CENTROIDS,
+        rerank=-1,  # no ADC cut: every probed row reaches the exact re-rank
+    ).select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 def _tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window aggregation (streaming-shape op in batch)."""
     ev = spark.read.parquet(_p(sf_dir, "events"))
@@ -596,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_neardup": _embedding_neardup,
             "ann_lsh_topk": _ann_lsh_topk,
             "ann_ivf_topk": _ann_ivf_topk,
+            "ann_ivfpq_topk": _ann_ivfpq_topk,
             "ann_recall_at_k": _ann_recall_at_k,
             "tumbling_window_events": _tumbling_window_events,
             "topk_per_group": _topk_per_group,
@@ -1359,6 +1413,19 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
     sql["ann_lsh_topk"] = _ann_lsh_oracle(
         k=20, n_planes=ANN_N_PLANES, max_hamming=6, seed=ANN_SEED
     )
+    # degenerate-exact IVF-PQ (all cells probed, rerank >= corpus):
+    # provably identical to exact brute-force cosine — the codebooks only
+    # order a cut that keeps everything — so the twin is the exact top-k
+    sql["ann_ivfpq_topk"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+        scored AS (
+          SELECT vec_id,
+                 list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS cos
+          FROM embeddings
+        )
+        SELECT vec_id, round(cos, 6) AS cos FROM scored
+        ORDER BY cos DESC, vec_id ASC LIMIT 20
+    """
     sql["ann_ivf_topk"] = _ann_ivf_oracle(
         k=20, n_centroids=IVF_N_CENTROIDS, nprobe=IVF_NPROBE, seed=IVF_SEED
     )

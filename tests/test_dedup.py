@@ -185,3 +185,86 @@ def test_cross_contamination_matches_bruteforce(spark, docs_df):
     assert got == want
     assert got[(0, 0)] == 1.0 and got[(5, 0)] == 1.0  # cross-side only
     assert all(cid != 6 or bid != 6 for cid, bid in got)
+
+
+def test_minhash_collapse_exact_equals_uncollapsed(spark):
+    """The duplicate-cluster guard (collapse_exact=True, the default)
+    returns EXACTLY the uncollapsed result — cross-cluster pairs inherit
+    their representatives' jaccard, intra-cluster pairs are 1.0, and
+    too-short-to-shingle duplicate docs yield no pairs either way."""
+    rows = list(DOCS) + [
+        (8, DOCS[1][1]),   # dup of a near-dup doc
+        (9, DOCS[2][1]),   # dup inside the other near-dup family
+        (10, "short text"),  # dup of doc 6: 2 tokens < n=3 -> no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    on = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in minhash_lsh_pairs(df, n=3, tau=0.5).collect()}
+    off = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(df, n=3, tau=0.5,
+                                      collapse_exact=False).collect()}
+    assert on == off
+    assert (0, 5) in on and on[(0, 5)] == 1.0   # intra-cluster pair
+    assert (1, 8) in on and (5, 8) in on        # dup-of-near-dup expands
+    assert not any(6 in p or 10 in p for p in on)  # shingle-less dups
+
+
+def test_minhash_dup_cluster_candidates_linear(spark):
+    """A big byte-identical cluster must generate O(distinct²)-shaped
+    candidate volume, not O(cluster²): with 400 copies of one text the
+    uncollapsed band join would enqueue C(400,2)·bands ≈ 319k pairs; the
+    rep-level join sees one signature per distinct text."""
+    from visionsearch_spark.operators.dedup import (
+        _band_candidates,
+        _exact_clusters,
+        minhash_signatures,
+        shingle_ids,
+    )
+
+    n_copies, boiler = 400, "common boilerplate header repeated on every page of the crawl"
+    rows = [(i, boiler) for i in range(n_copies)]
+    rows += [(n_copies + i, t) for i, (_, t) in enumerate(DOCS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mem = _exact_clusters(df, "text", "doc_id")
+    rep_docs = df.join(
+        mem.filter(F.col("id") == F.col("rep"))
+        .select(F.col("id").alias("doc_id")), "doc_id")
+    n_distinct = rep_docs.count()
+    assert n_distinct == len(DOCS)  # boiler + 7 distinct DOCS texts ... 
+    sids = shingle_ids(shingles(rep_docs, 3, "text", "doc_id"))
+    sig = minhash_signatures(sids)
+    n_cands = _band_candidates(sig).count()
+    assert n_cands <= n_distinct * (n_distinct - 1) // 2
+    # and the full operator still returns the complete expanded pair set
+    # for a (smaller) cluster: 30 copies -> C(30,2) intra pairs
+    small = spark.createDataFrame(
+        [(i, boiler) for i in range(30)] + [(100, DOCS[4][1])],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(small, n=3, tau=0.5).collect()
+    assert len(pairs) == 30 * 29 // 2
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_cross_contamination_collapse_equals_uncollapsed(spark, docs_df):
+    """Per-side duplicate collapse changes nothing about the emitted
+    (corpus_id, benchmark_id, jaccard) set — including texts duplicated
+    WITHIN a side and texts identical ACROSS sides."""
+    from visionsearch_spark.operators.dedup import cross_contamination
+
+    corpus = spark.createDataFrame(
+        list(DOCS) + [(8, DOCS[0][1])], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(50, DOCS[0][1]), (51, DOCS[0][1]),  # in-side dup, cross-side identical
+         (52, DOCS[3][1]), (53, "nothing shared with anything here at all")],
+        "doc_id long, text string")
+    on = {(r["corpus_id"], r["benchmark_id"]): r["jaccard"]
+          for r in cross_contamination(corpus, bench, n=3, tau=0.5).collect()}
+    off = {(r["corpus_id"], r["benchmark_id"]): r["jaccard"]
+           for r in cross_contamination(corpus, bench, n=3, tau=0.5,
+                                        collapse_exact=False).collect()}
+    assert on == off
+    assert (0, 50) in on and on[(0, 50)] == 1.0
+    assert (8, 51) in on        # both sides' dup members expand
+    assert (3, 52) in on
+    assert not any(b == 53 for (_, b) in on)

@@ -216,3 +216,50 @@ def test_upload_malformed_content_length_gets_400(served):
             conn.close()
     after = set(os.listdir(spool)) if os.path.isdir(spool) else set()
     assert after == before  # nothing spooled
+
+
+def test_bearer_auth_gate(spark, transcripts, tmp_path_factory):
+    """auth_token set => /search, /upload and /files demand
+    `Authorization: Bearer <token>` (401 otherwise); /healthz stays open
+    for liveness probes; the right token passes."""
+    base = tmp_path_factory.mktemp("http_auth")
+    spool = str(base / "spool")
+    static = str(base / "static")
+    os.makedirs(static)
+    with open(os.path.join(static, "t.bin"), "wb") as f:
+        f.write(b"x")
+    store = build_index(transcripts, str(base / "idx"), n_partitions=4)
+    app = ServingApp(LocalSearcher(store), spool_dir=spool,
+                     static_dir=static, auth_token="s3cret")
+    srv = app.make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = json.dumps(
+            [{"conv_id": "c", "turn_idx": 0, "text": "hi"}]
+        ).encode()
+        cases = [
+            ("GET", f"{url}/search?q=join&k=3", None),
+            ("GET", f"{url}/files/t.bin", None),
+            ("POST", f"{url}/upload", body),
+        ]
+        for method, u, data in cases:
+            for hdrs, want in [
+                ({}, 401),
+                ({"Authorization": "Bearer wrong"}, 401),
+                ({"Authorization": "Bearer s3cret"}, 200),
+            ]:
+                req = urllib.request.Request(u, data=data, method=method,
+                                             headers=hdrs)
+                try:
+                    with urllib.request.urlopen(req, timeout=10) as r:
+                        status = r.status
+                except urllib.error.HTTPError as e:
+                    status = e.code
+                assert status == want, (method, u, hdrs, status)
+        # healthz needs no token
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            assert r.status == 200
+    finally:
+        srv.shutdown()

@@ -99,35 +99,101 @@ def minhash_signatures(sids: DataFrame) -> DataFrame:
     return sids.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id"
-                      ) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH, then exact Jaccard verify.
-
-    Returns (id_a < id_b, jaccard >= tau). Candidate pairs come from
-    equality of any band (groupBy band values — a shuffle on tiny keys),
-    so the cross product never materializes.
-    """
-    sh = shingles(docs, n, text_col, id_col)
-    sids = shingle_ids(sh)
-    sig = minhash_signatures(sids).cache()
+def _band_candidates(sig: DataFrame, cross_side: bool = False) -> DataFrame:
+    """Banded-LSH candidate pairs from a minhash_signatures frame: a pair
+    is a candidate iff it agrees on ALL hashes of >=1 band (equality
+    join on band columns — a shuffle on tiny keys, never a cross
+    product). cross_side=True restricts to pairs whose ids differ in the
+    low bit (the cross_contamination encoding: corpus=even, bench=odd),
+    with id_a the even side."""
     rows_per_band = N_HASHES // N_BANDS
     cands = None
     for b in range(N_BANDS):
         cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         left = sig.select(F.col("id").alias("id_a"), *cols)
         right = sig.select(F.col("id").alias("id_b"), *cols)
-        pair = left.join(right, cols).filter(F.col("id_a") < F.col("id_b")) \
-            .select("id_a", "id_b")
+        if cross_side:
+            left = left.filter(F.col("id_a") % 2 == 0)
+            right = right.filter(F.col("id_b") % 2 == 1)
+            pair = left.join(right, cols).select("id_a", "id_b")
+        else:
+            pair = left.join(right, cols) \
+                .filter(F.col("id_a") < F.col("id_b")) \
+                .select("id_a", "id_b")
         cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct()
-    return _verify_jaccard(cands, sids, tau)
+    return cands.distinct()
+
+
+def _exact_clusters(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, rep) membership map of byte-identical-text clusters:
+    rep = min id per sha2(text, 256) group (exact_dedup's keying)."""
+    hashed = docs.select(F.col(id_col).alias("id"),
+                         F.sha2(F.col(text_col), 256).alias("_h"))
+    reps = hashed.groupBy("_h").agg(F.min("id").alias("rep"))
+    return hashed.join(reps, "_h").select("id", "rep")
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      collapse_exact: bool = True) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, then exact Jaccard verify.
+
+    Returns (id_a < id_b, jaccard >= tau). Candidate pairs come from
+    equality of any band (groupBy band values — a shuffle on tiny keys),
+    so the cross product never materializes.
+
+    collapse_exact (default ON — the duplicate-cluster guard): d
+    byte-identical docs share every band value, so uncollapsed they alone
+    put d(d-1)/2 candidate pairs in every band bucket — quadratic in the
+    largest dup cluster, and real crawl corpora have 10^5-copy clusters.
+    The guard collapses each sha2(text) cluster to its min-id
+    representative BEFORE shingling, runs candidate generation + verify
+    over representatives only (the shingle DICTIONARY is unchanged —
+    duplicates add no distinct shingles — so signatures and Jaccard
+    values are bit-identical), then expands verified pairs back over
+    cluster members: cross-cluster pairs inherit the representatives'
+    jaccard (members are byte-identical to their rep), intra-cluster
+    pairs are jaccard-1.0 by construction. Output is exactly the
+    uncollapsed result (pinned in tests); candidate volume drops from
+    O(cluster²) to O(distinct²-shaped). Intra-cluster pairs of docs too
+    short to shingle are skipped, matching the uncollapsed pipeline
+    (no shingles -> no candidates)."""
+    if not collapse_exact:
+        sids = shingle_ids(shingles(docs, n, text_col, id_col))
+        sig = minhash_signatures(sids).cache()
+        return _verify_jaccard(_band_candidates(sig), sids, tau)
+    mem = _exact_clusters(docs, text_col, id_col)
+    rep_ids = mem.filter(F.col("id") == F.col("rep")) \
+        .select(F.col("id").alias(id_col))
+    rep_docs = docs.join(rep_ids, id_col)
+    sids = shingle_ids(shingles(rep_docs, n, text_col, id_col))
+    sig = minhash_signatures(sids).cache()
+    rep_pairs = _verify_jaccard(_band_candidates(sig), sids, tau)
+    ma = mem.select(F.col("rep").alias("id_a"), F.col("id").alias("_fa"))
+    mb = mem.select(F.col("rep").alias("id_b"), F.col("id").alias("_fb"))
+    cross = (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .select(F.least("_fa", "_fb").alias("id_a"),
+                F.greatest("_fa", "_fb").alias("id_b"), "jaccard")
+    )
+    if tau > 1.0:
+        return cross
+    shingled = sids.select(F.col("id").alias("rep")).distinct()
+    m2 = mem.join(shingled, "rep")
+    intra = (
+        m2.select(F.col("rep"), F.col("id").alias("id_a"))
+        .join(m2.select(F.col("rep"), F.col("id").alias("id_b")), "rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(F.lit(1.0), 6).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
                         n: int = 3, tau: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id"
-                        ) -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        collapse_exact: bool = True) -> DataFrame:
     """Train/benchmark DECONTAMINATION: near-dup pairs ACROSS two tables
     — (corpus_id, benchmark_id, jaccard >= tau) for every corpus doc
     whose token-n-gram shingle set near-duplicates a benchmark doc. The
@@ -142,7 +208,16 @@ def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
     single-keyed — no second dictionary pass, no extra shuffle vs the
     in-corpus variant. Scale shape is identical (band-bucket joins, never
     a cross product); benchmark tables are typically tiny, so the
-    cross-side band join is hash-small on one side."""
+    cross-side band join is hash-small on one side.
+
+    collapse_exact (default ON): the same duplicate-cluster guard as
+    minhash_lsh_pairs, applied PER SIDE — byte-identical docs within a
+    side collapse to their min-id representative before shingling, and
+    verified cross-side representative pairs expand back over both
+    clusters' members. A 10^5-copy boilerplate cluster in the corpus
+    contributes one signature row instead of 10^5 identical ones, so
+    in-bucket candidate mass stays linear in distinct texts. Values are
+    unchanged (members are byte-identical to their reps)."""
     c = corpus.select(
         (F.col(id_col).cast("long") * 2).alias("id"),
         F.col(text_col).alias(text_col),
@@ -151,23 +226,37 @@ def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
         (F.col(id_col).cast("long") * 2 + 1).alias("id"),
         F.col(text_col).alias(text_col),
     )
-    sh = shingles(c.unionByName(b), n, text_col, "id")
-    sids = shingle_ids(sh)
-    sig = minhash_signatures(sids).cache()
-    rows_per_band = N_HASHES // N_BANDS
-    cands = None
-    for band in range(N_BANDS):
-        cols = [f"h{i}"
-                for i in range(band * rows_per_band,
-                               (band + 1) * rows_per_band)]
-        left = sig.filter(F.col("id") % 2 == 0) \
-            .select(F.col("id").alias("id_a"), *cols)
-        right = sig.filter(F.col("id") % 2 == 1) \
-            .select(F.col("id").alias("id_b"), *cols)
-        pair = left.join(right, cols).select("id_a", "id_b")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct()
-    return _verify_jaccard(cands, sids, tau).select(
+    if collapse_exact:
+        # per-side clusters: the union would merge identical texts ACROSS
+        # sides into one cluster and lose one side's representative
+        mem_c = _exact_clusters(c, text_col, "id")
+        mem_b = _exact_clusters(b, text_col, "id")
+        c_rep = c.join(mem_c.filter(F.col("id") == F.col("rep"))
+                       .select("id"), "id")
+        b_rep = b.join(mem_b.filter(F.col("id") == F.col("rep"))
+                       .select("id"), "id")
+        sids = shingle_ids(shingles(c_rep.unionByName(b_rep), n,
+                                    text_col, "id"))
+        sig = minhash_signatures(sids).cache()
+        rep_pairs = _verify_jaccard(
+            _band_candidates(sig, cross_side=True), sids, tau
+        )
+        out = (
+            rep_pairs
+            .join(mem_c.select(F.col("rep").alias("id_a"),
+                               F.col("id").alias("_fa")), "id_a")
+            .join(mem_b.select(F.col("rep").alias("id_b"),
+                               F.col("id").alias("_fb")), "id_b")
+            .select(F.col("_fa").alias("id_a"),
+                    F.col("_fb").alias("id_b"), "jaccard")
+        )
+    else:
+        sids = shingle_ids(shingles(c.unionByName(b), n, text_col, "id"))
+        sig = minhash_signatures(sids).cache()
+        out = _verify_jaccard(
+            _band_candidates(sig, cross_side=True), sids, tau
+        )
+    return out.select(
         F.expr("id_a div 2").alias("corpus_id"),
         F.expr("(id_b - 1) div 2").alias("benchmark_id"),
         "jaccard",

@@ -590,8 +590,12 @@ def cosine_topk_ivfpq(
     `rerank` (default 4k) candidates by approximate inner product, then
     exact-cosine re-rank ONLY those rows. With nprobe == n_centroids and
     rerank >= corpus size this degrades to exact brute force (the pytest
-    invariant); the judge of approximation quality is the recall floor
-    pinned in tests."""
+    invariant). rerank < 0 skips the ADC cut entirely (every probed row
+    goes to the exact re-rank) — the explicit degenerate-exact switch;
+    passing a huge positive rerank instead is a foot-gun, because
+    TakeOrderedAndProject sizes its per-partition priority queue by the
+    limit and a 10^9 limit OOMs the executor heap. The judge of
+    approximation quality is the recall floor pinned in tests."""
     import json
 
     with open(os.path.join(root, PQ_META)) as f:
@@ -600,7 +604,7 @@ def cosine_topk_ivfpq(
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {meta['dim']}"
         )
-    rerank = rerank or 4 * k
+    rerank = 4 * k if rerank is None else rerank
     m, n_codes = int(meta["m"]), int(meta["n_codes"])
     books = np.asarray(meta["books"], dtype=np.float64)
     dsub = books.shape[2]
@@ -637,15 +641,16 @@ def cosine_topk_ivfpq(
             )
 
     spark = emb.sparkSession
-    cands = (
+    scored_codes = (
         spark.read.parquet(os.path.join(root, PQ_CODES))
         .filter(F.col("cell").isin(probes))
         .select("id", "codes")
         .mapInArrow(adc, "id long, approx double")
-        .orderBy(F.desc("approx"), F.asc("id"))
-        .limit(rerank)
-        .select(F.col("id").alias(id_col))
     )
+    if rerank >= 0:
+        scored_codes = scored_codes \
+            .orderBy(F.desc("approx"), F.asc("id")).limit(rerank)
+    cands = scored_codes.select(F.col("id").alias(id_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         emb.join(cands, id_col)

@@ -93,11 +93,19 @@ class ServingApp:
     ThreadingHTTPServer. Pass port=0 for an ephemeral port (tests)."""
 
     def __init__(self, searcher, spool_dir: str, static_dir: str | None = None,
-                 max_upload_mb: int = DEFAULT_MAX_UPLOAD_MB):
+                 max_upload_mb: int = DEFAULT_MAX_UPLOAD_MB,
+                 auth_token: str | None = None):
         self.searcher = searcher
         self.spool_dir = spool_dir
         self.static_dir = os.path.realpath(static_dir) if static_dir else None
         self.max_upload_bytes = int(max_upload_mb * 1024 * 1024)
+        # minimal bearer-token gate on the data-bearing endpoints
+        # (/search, /upload, /files) — the engine-tier analog of the
+        # reference fronting search with an auth'd users app
+        # (/root/reference/visionsearch/users/). None = open (tests,
+        # trusted-network deployments behind a real gateway). /healthz
+        # stays open: liveness probes don't carry credentials.
+        self.auth_token = auth_token
         self._seq = 0
         self._seq_lock = threading.Lock()
 
@@ -122,6 +130,26 @@ class ServingApp:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authed(self) -> bool:
+                """Constant-shape bearer check; 401 + WWW-Authenticate on
+                failure (compare_digest: no timing side channel)."""
+                if app.auth_token is None:
+                    return True
+                import hmac
+
+                got = self.headers.get("Authorization", "")
+                want = f"Bearer {app.auth_token}"
+                if hmac.compare_digest(got.encode(), want.encode()):
+                    return True
+                body = json.dumps({"error": "unauthorized"}).encode()
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", "Bearer")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return False
+
             def do_GET(self):
                 u = urllib.parse.urlparse(self.path)
                 if u.path == "/healthz":
@@ -131,6 +159,8 @@ class ServingApp:
                     })
                     return
                 if u.path == "/search":
+                    if not self._authed():
+                        return
                     qs = urllib.parse.parse_qs(u.query)
                     q = (qs.get("q") or [""])[0]
                     k = int((qs.get("k") or ["5"])[0])
@@ -147,6 +177,8 @@ class ServingApp:
                     })
                     return
                 if u.path.startswith("/files/") and app.static_dir:
+                    if not self._authed():
+                        return
                     rel = urllib.parse.unquote(u.path[len("/files/"):])
                     full = os.path.realpath(os.path.join(app.static_dir, rel))
                     # traversal guard: resolved path must stay inside root
@@ -170,6 +202,8 @@ class ServingApp:
                 u = urllib.parse.urlparse(self.path)
                 if u.path != "/upload":
                     self._json(404, {"error": "not found"})
+                    return
+                if not self._authed():
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
