@@ -334,3 +334,65 @@ def test_streaming_dedup_multichunk_batch_keeps_min_id(
     df = spark.createDataFrame(rows, "doc_id long, text string")
     want = sorted(r["keep_id"] for r in exact_dedup(df).collect())
     assert kept == want == sorted(range(20))
+
+
+def test_streaming_dedup_state_writes_flat(spark, tmp_path_factory):
+    """The r3 scale-killer regression guard: state BYTES WRITTEN per
+    micro-batch must be O(batch), not O(seen). With constant-size
+    all-new batches, per-version state delta bytes stay flat as the
+    cumulative seen-set grows 8x (the old per-group seen-array design
+    re-serialized the whole history every trigger, so late deltas grew
+    ~linearly with seen)."""
+    from visionsearch_spark.streaming.dedup_stream import dedup_stream
+
+    root = str(tmp_path_factory.mktemp("dedup_state_vol"))
+    spool_dir = os.path.join(root, "spool")
+    os.makedirs(spool_dir)
+    n_batches, bsz = 8, 400
+    for i in range(n_batches):
+        ids = list(range(i * bsz, (i + 1) * bsz))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([f"unique text {j}" for j in ids],
+                                 pa.string()),
+            }),
+            os.path.join(spool_dir, f"{i:04d}.parquet"),
+        )
+    ckpt, out = os.path.join(root, "ckpt"), os.path.join(root, "out")
+    q = (
+        dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(spool_dir),
+            n_groups=8,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n_batches * bsz
+
+    # sum .delta bytes per state version (snapshots excluded: those are
+    # periodic full-state compactions, not per-batch write volume)
+    sizes: dict[int, int] = {}
+    state0 = os.path.join(ckpt, "state", "0")
+    for part in os.listdir(state0):
+        pdir = os.path.join(state0, part)
+        if not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            if f.endswith(".delta"):
+                v = int(f.split(".")[0])
+                sizes[v] = sizes.get(v, 0) + os.path.getsize(
+                    os.path.join(pdir, f))
+    versions = sorted(sizes)
+    assert len(versions) >= n_batches, versions
+    # every batch inserts the same number of new keys => flat deltas;
+    # allow 1.5x slack for framing noise. Under the old design the last
+    # batch's delta carried ~8x the first's.
+    first, last = sizes[versions[0]], sizes[versions[-1]]
+    assert last <= first * 1.5, (first, last, sizes)
