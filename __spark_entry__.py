@@ -523,6 +523,27 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+EMBED_DIM = 8  # contract dim for the deterministic stub embedder
+
+
+def _embed_text_hashproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stub embedder (embedding.HashProjectionEmbedder)
+    over documents, exploded to (doc_id, dim_idx, value) rows so every
+    component sits under the driver's value hash. Zero-token docs are
+    excluded on BOTH sides (the oracle's per-token unnest never emits
+    them). Integer accumulation + exact-integer squared norm make the
+    float values bit-identical to the SQL twin."""
+    from visionsearch_spark.analyzer import tokens_col
+    from visionsearch_spark.embedding import embed_text
+
+    docs = spark.read.parquet(_p(sf_dir, "documents")) \
+        .filter(F.size(tokens_col("text")) > 0)
+    emb = embed_text(docs, model_name="hash-projection", dim=EMBED_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
+    ).select("doc_id", "dim_idx", F.round("value", 6).alias("value"))
+
+
 IVFPQ_M = 8  # 64-d embeddings -> 8 subspaces of 8 dims
 
 
@@ -648,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "revenue_by_nation": _revenue_by_nation,
             "embedding_neardup": _embedding_neardup,
             "ann_lsh_topk": _ann_lsh_topk,
+            "embed_text_hashproj": _embed_text_hashproj,
             "ann_ivf_topk": _ann_ivf_topk,
             "ann_ivfpq_topk": _ann_ivfpq_topk,
             "ann_recall_at_k": _ann_recall_at_k,
@@ -1215,6 +1237,50 @@ SELECT doc_id, round(score, 6) AS score FROM ranked WHERE rnk <= {k}
 """
 
 
+def _embed_hashproj_oracle(dim: int) -> str:
+    """DuckDB twin of embedding.HashProjectionEmbedder: token hash =
+    md5_number_lower (little-endian low 8 md5 bytes — byte-identical to
+    the Python struct.unpack('<Q', digest[8:])), per-dimension affine
+    offsets summed as integers, squared norm as exact HUGEINT, one
+    sqrt + one division per component. Zero-token docs drop out
+    naturally (no unnested rows)."""
+    from visionsearch_spark.embedding import (
+        EMBED_HALF,
+        EMBED_MULT,
+        EMBED_OFFSET,
+        EMBED_PRIME,
+        EMBED_STEP,
+    )
+
+    toks = duckdb_tokens("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (md5_number_lower(term)::HUGEINT % {EMBED_PRIME})::BIGINT AS h
+  FROM toks
+),
+dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS dim_idx),
+comp AS (
+  SELECT doc_id, dim_idx,
+         sum((({EMBED_MULT}::BIGINT * ((h + dim_idx * {EMBED_STEP}) % {EMBED_PRIME})
+               + {EMBED_OFFSET}) % {EMBED_PRIME}) - {EMBED_HALF}) AS raw
+  FROM h CROSS JOIN dims
+  GROUP BY doc_id, dim_idx
+),
+nrm AS (
+  SELECT doc_id, sum(raw * raw) AS n2 FROM comp GROUP BY doc_id
+)
+SELECT c.doc_id, c.dim_idx::INT AS dim_idx,
+       round(CASE WHEN n.n2 > 0
+                  THEN (c.raw::DOUBLE) / sqrt(n.n2::DOUBLE)
+                  ELSE 0.0 END, 6) AS value
+FROM comp c JOIN nrm n USING(doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = duckdb_tokens("text")
     sql: dict[str, str] = {
@@ -1413,6 +1479,7 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
     sql["ann_lsh_topk"] = _ann_lsh_oracle(
         k=20, n_planes=ANN_N_PLANES, max_hamming=6, seed=ANN_SEED
     )
+    sql["embed_text_hashproj"] = _embed_hashproj_oracle(EMBED_DIM)
     # degenerate-exact IVF-PQ (all cells probed, rerank >= corpus):
     # provably identical to exact brute-force cosine — the codebooks only
     # order a cut that keeps everything — so the twin is the exact top-k
