@@ -474,6 +474,50 @@ def _carry_bounds_spark(spark: SparkSession, per: DataFrame,
     )
 
 
+def _segment_files(store: IndexStore) -> list[str]:
+    """Every live segment parquet file, across all LSM dirs."""
+    import os
+
+    files = []
+    for d in store.segment_paths():
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                files.append(os.path.join(d, f))
+    return files
+
+
+def _make_file_score_fn(qplans, avgdl: float, threshold: float,
+                        hit_terms: list[str]):
+    """File-aligned kernel: each task receives segment FILE PATHS, reads
+    them directly (pyarrow dataset; term-IN filter prunes row groups off
+    the same min/max stats the Spark scan would use; single-threaded —
+    Spark owns the core), and delegates to the ordinary score kernel.
+    use_threads=False because parallelism belongs to the task scheduler,
+    not a nested Arrow pool fighting 32 sibling tasks."""
+    inner = _make_score_fn(qplans, avgdl, threshold,
+                           has_filter=False, has_bounds=False)
+    cols = ["term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin",
+            "max_tf", "min_dl"]
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        paths: list[str] = []
+        for b in batches:
+            paths.extend(b.column("path").to_pylist())
+        if not paths:
+            return
+        scanner = pads.dataset(paths, format="parquet").scanner(
+            columns=cols,
+            filter=pc.field("term").isin(hit_terms),
+            use_threads=False,
+        )
+        yield from inner(scanner.to_batches())
+
+    return score
+
+
 def _partial_scores(
     spark: SparkSession,
     store: IndexStore,
@@ -483,11 +527,29 @@ def _partial_scores(
     docid_filter: DataFrame | None,
     collapse_bounds: DataFrame | None,
 ) -> tuple[DataFrame | None, list]:
-    """Shared plan prefix: query planning (driver-side df lookups), the
-    term-IN-pruned segment scan with sideband rows, the shard-co-located
-    mapInArrow score kernel. Returns (partials, qplans) — partials is
-    (query_id, docid, score), per-partition-cut to each query's k (with
-    boundary ties kept); None when every term is OOV."""
+    """Shared plan prefix: query planning (driver-side df lookups), then
+    one of two physical strategies for the scan+score stage. Returns
+    (partials, qplans) — partials is (query_id, docid, score),
+    per-partition-cut to each query's k (with boundary ties kept); None
+    when every term is OOV.
+
+    FILE-ALIGNED FAST PATH (no sidebands — the hot batch/serving path):
+    ZERO data shuffle. Every live segment dir is written
+    `repartition(n_partitions, "shard")` (spimi.py build/compact,
+    incremental.py append), so each segment FILE holds complete shards —
+    all terms' blocks for a shard co-located — and LSM increments own
+    disjoint docid ranges; therefore ANY whole-file task assignment
+    computes complete per-docid sums, and the per-partition k-cut stays
+    exact. Tasks receive file PATHS (a ~100-byte round-robin exchange),
+    read their files in-task, score, and emit ≤ k+ties rows per query.
+    The r3 scaling decomposition blamed the residual efficiency gap on
+    shuffle serialization of the filtered posting KBs through one host
+    memory bus — this path removes that exchange entirely instead of
+    tuning it.
+
+    SHUFFLE PATH (docid_filter / collapse_bounds): sideband rows must
+    ride the same partitioner as the blocks they gate, which the file
+    alignment cannot express — the explicit shard repartition stays."""
     meta = store.read_meta()
     avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
     shard_range = int(meta["shard_range"])
@@ -510,6 +572,27 @@ def _partial_scores(
     hit_terms = sorted({t for _q, ts, _k in qplans for t, _w, _r in ts})
 
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    import os as _os
+
+    # VSS_QUERY_FORCE_SHUFFLE=1 pins the legacy shuffle plan — only for
+    # same-session A/B measurement (jobs/scaling_bench.py honesty), never
+    # a production switch
+    if (docid_filter is None and collapse_bounds is None
+            and not _os.environ.get("VSS_QUERY_FORCE_SHUFFLE")):
+        files = _segment_files(store)
+        if not files:  # store with no committed segments: nothing to hit
+            return None, []
+        paths_df = _local_df(spark, [(p,) for p in files],
+                             "path string", ["path"])
+        # round-robin repartition = exact balance of files over tasks;
+        # parallelism caps at the file count (= build n_partitions per
+        # live dir — size n_partitions for the query fleet, not just the
+        # build)
+        partials = paths_df.repartition(min(n_tasks, len(files))).mapInArrow(
+            _make_file_score_fn(qplans, avgdl, threshold, hit_terms),
+            "query_id long, docid long, score double",
+        )
+        return partials, qplans
     seg = (
         _segments_df(spark, store)
         .filter(F.col("term").isin(hit_terms))  # pushed to parquet scan
