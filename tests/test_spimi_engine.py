@@ -166,3 +166,28 @@ def test_rebuild_is_idempotent(spark, transcripts, built_store, tmp_path_factory
     after = {m["partition_id"]: m["ts"] for m in built_store.manifests()
              if m["status"] == "done"}
     assert before == after
+
+
+def test_fast_path_plan_has_no_posting_shuffle(spark, built_store):
+    """Layout-invariant regression guard (PLANS.md §17): the unfiltered
+    batch plan must NOT repartition posting data — segment files are
+    shard-complete per file and LSM dirs docid-disjoint, so the kernel
+    runs over whole-file tasks with only the ~100-byte path exchange.
+    Sideband queries (allow-filter) MUST keep the shard shuffle that
+    co-locates their gating rows with the blocks."""
+    from pyspark.sql import functions as F
+
+    q = [(0, "join filter stream", 5)]
+    fast = batch_topk(spark, built_store, q)
+    fast.count()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" not in plan
+    # merge side: candidates broadcast into the docmap join, never a
+    # docmap-wide shuffle (AQE converts at runtime on actual sizes)
+    assert "BroadcastHashJoin" in plan
+
+    allow = spark.range(0, 50).select(F.col("id").alias("docid"))
+    filt = batch_topk(spark, built_store, q, docid_filter=allow)
+    filt.count()
+    fplan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in fplan
