@@ -342,6 +342,43 @@ def _llm_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_token_estimate(docs)
 
 
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(spark.read.parquet(_p(sf_dir, "documents")))
+
+
+# deterministic PII suffix appended to every 7th doc INSIDE the contract
+# query (the synthetic corpus contains no PII — both engines build the
+# same augmented input, so the scrub rules are actually exercised)
+PII_SUFFIX = (" contact a.user@example.com or https://ex.com/p?q=1 "
+              "or +1 (555) 123-4567")
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import pii_scrub
+
+    docs = spark.read.parquet(_p(sf_dir, "documents")).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(PII_SUFFIX))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(docs)
+
+
+MIXTURE_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+
+
+def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.textstats import mixture_weights
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return mixture_weights(docs, MIXTURE_TARGETS)
+
+
 def _deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.textstats import deterministic_sample
 
@@ -660,6 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "llm_token_estimate": _llm_token_estimate,
             "pack_documents": _pack_documents,
             "source_mixture": _source_mixture,
+            "repetition_stats": _repetition_stats,
+            "pii_scrub": _pii_scrub,
+            "mixture_weights": _mixture_weights,
             "deterministic_sample": _deterministic_sample,
             "training_set_filter": _training_set_filter,
             "doc_fingerprint": _doc_fingerprint,
@@ -1417,6 +1457,72 @@ c AS (
 SELECT doc_id, n_tokens,
        ((cum - n_tokens) // {PACK_WINDOW})::BIGINT AS bin_id
 FROM c
+"""
+    sql["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT doc_id, len(tk) AS dl,
+    CASE WHEN len(tk) >= 2 THEN list_transform(
+      generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+      ELSE [] END AS g2,
+    CASE WHEN len(tk) >= 3 THEN list_transform(
+      generate_series(1, len(tk)-2),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      ELSE [] END AS g3
+  FROM t),
+tfm AS (
+  SELECT doc_id, max(c) AS max_tf FROM (
+    SELECT doc_id, term, count(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+    GROUP BY doc_id, term)
+  GROUP BY doc_id)
+SELECT g.doc_id,
+  CASE WHEN len(g2) > 0
+       THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+       ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(g3) > 0
+       THEN round(1.0 - len(list_distinct(g3)) / len(g3), 6)
+       ELSE 0.0 END AS dup_3gram_frac,
+  CASE WHEN dl > 0 THEN round(max_tf / dl, 6) ELSE 0.0 END AS top_term_frac
+FROM g LEFT JOIN tfm USING(doc_id)
+"""
+    from visionsearch_spark.operators.textstats import PII_STEPS
+    pii_expr = "text"
+    pii_counts = []
+    for name, pat, rep in PII_STEPS:
+        pii_counts.append(
+            f"len(regexp_extract_all({pii_expr}, '{pat}')) AS n_{name}"
+        )
+        pii_expr = f"regexp_replace({pii_expr}, '{pat}', '{rep}', 'g')"
+    sql["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN '{PII_SUFFIX}' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id, {", ".join(pii_counts)}, {pii_expr} AS clean_text
+FROM aug
+"""
+    tgt_cases = " ".join(
+        f"WHEN source = '{s}' THEN {v}"
+        for s, v in sorted(MIXTURE_TARGETS.items())
+    )
+    sql["mixture_weights"] = f"""
+WITH d AS (SELECT source, len({toks}) AS n FROM documents),
+a AS (
+  SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+  FROM d GROUP BY source
+),
+m AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM a), 6)
+           AS token_share
+  FROM a
+)
+SELECT source, n_docs, n_tokens, token_share,
+       round((CASE {tgt_cases} ELSE 0.0 END) / token_share, 6) AS weight
+FROM m
 """
     from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
     sql["deterministic_sample"] = f"""

@@ -227,3 +227,67 @@ def test_source_mixture_shares(spark):
         "chat": (1, 1, round(1 / 10, 6)),
     }
     assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-6
+
+
+def test_repetition_stats(spark):
+    from visionsearch_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),        # 3 bigrams, 1 distinct
+            (1, "all tokens here are unique"), # no repetition
+            (2, "ab"),                         # 1 token: no 2-grams
+            (3, ""),                           # zero tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["dup_2gram_frac"] == pytest.approx(1 - 1 / 3)
+    assert got[0]["dup_3gram_frac"] == pytest.approx(1 - 1 / 2)
+    assert got[0]["top_term_frac"] == 1.0
+    assert got[1]["dup_2gram_frac"] == 0.0
+    assert got[1]["top_term_frac"] == pytest.approx(0.2)
+    assert got[2]["dup_2gram_frac"] == 0.0 and got[2]["top_term_frac"] == 1.0
+    assert got[3]["top_term_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    from visionsearch_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@corp.example.org today"),
+            (1, "see https://ex.com/a?user=a@b.co and http://plain.io"),
+            (2, "call +1 (555) 123-4567 or 555-867-5309 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[0]["n_emails"] == 1
+    assert "<EMAIL>" in got[0]["clean_text"]
+    assert "jo.doe" not in got[0]["clean_text"]
+    # the email inside the URL counts as the URL it rode in on, once
+    assert got[1]["n_urls"] == 2 and got[1]["n_emails"] == 0
+    assert got[1]["clean_text"] == "see <URL> and <URL>"
+    assert got[2]["n_phones"] == 2
+    assert "555" not in got[2]["clean_text"]
+    assert got[3]["clean_text"] == "nothing sensitive here"
+    assert (got[3]["n_urls"], got[3]["n_emails"], got[3]["n_phones"]) \
+        == (0, 0, 0)
+
+
+def test_mixture_weights(spark):
+    from visionsearch_spark.operators.textstats import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "web"), (1, "e f g h", "web"),
+         (2, "i j k l", "code"), (3, "m n o p", "books")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in
+           mixture_weights(docs, {"web": 0.5, "code": 0.5}).collect()}
+    # actual shares: web 0.5, code 0.25, books 0.25
+    assert got["web"]["weight"] == pytest.approx(1.0)
+    assert got["code"]["weight"] == pytest.approx(2.0)
+    assert got["books"]["weight"] == 0.0

@@ -250,6 +250,110 @@ def training_set_filter(docs: DataFrame, min_quality: float = 0.6,
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    crawl-quality filters that catch boilerplate/spam before training:
+      dup_2gram_frac / dup_3gram_frac — fraction of n-gram OCCURRENCES
+        that are duplicates: 1 - distinct/total (0.0 for docs too short
+        to have any n-gram);
+      top_term_frac — the most frequent token's share of the doc length
+        (a 0.3+ value is a repetition loop, not language).
+    The n-gram fractions are pure JVM array arithmetic (no shuffle); the
+    top-term count is one partial-aggregated explode+groupBy whose
+    shuffle rows are (doc_id, term) pairs, the same shape as the index
+    build's term fan-out. All divisions are int/int -> double in both
+    engines, so the DuckDB twin matches bit-wise."""
+    toks = tokens_col(text_col)
+    d = docs.select(F.col(id_col), toks.alias("_t"))
+
+    def dup_frac(n: int):
+        idxs = F.when(
+            F.size("_t") >= n, F.sequence(F.lit(0), F.size("_t") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idxs, lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n))
+        )
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6),
+        ).otherwise(F.lit(0.0))
+
+    base = d.select(
+        id_col,
+        F.size("_t").alias("_dl"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    tf = (
+        d.select(id_col, F.explode("_t").alias("_term"))
+        .groupBy(id_col, "_term").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col).agg(F.max("_c").alias("_max_tf"))
+    )
+    return base.join(tf, id_col, "left").select(
+        id_col,
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.when(
+            F.col("_dl") > 0, F.round(F.col("_max_tf") / F.col("_dl"), 6)
+        ).otherwise(F.lit(0.0)).alias("top_term_frac"),
+    )
+
+
+# PII patterns — RE2-safe (no lookarounds/backrefs) and with whitespace
+# spelled out, so Java regex (Spark) and RE2 (DuckDB twin) match
+# identically. Scrub ORDER matters and is part of the spec: URLs first
+# (an email inside a URL query string must count once, as a URL), then
+# emails, then phones; replacement tokens contain no digits or '@', so
+# later passes can never match inside earlier redactions.
+PII_URL_RE = r"https?://[^ \t\n\x0b\f\r]+"
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z][a-zA-Z]+"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+PII_STEPS = [  # (column suffix, pattern, replacement) in scrub order
+    ("urls", PII_URL_RE, "<URL>"),
+    ("emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("phones", PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact URLs, emails and phone numbers — the standard PII/link
+    scrub a training pipeline runs before tokenization. Returns
+    (doc_id, n_urls, n_emails, n_phones, clean_text). Counts are taken
+    on the progressively scrubbed text (an email inside a URL counts as
+    the URL it rode in on, not twice). Pure codegen'd regexp_count /
+    regexp_replace — one scan, no shuffle, no Python."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_STEPS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return docs.select(F.col(id_col), *counts, cur.alias("clean_text"))
+
+
+def mixture_weights(docs: DataFrame, targets: dict[str, float],
+                    text_col: str = "text", source_col: str = "source"
+                    ) -> DataFrame:
+    """Per-source resampling weight for hitting a TARGET token mixture:
+    weight = target_share / actual token_share — the multiplier a
+    mixture sampler applies to each source's sampling rate (>1 =
+    oversample, <1 = downsample, 0 = excluded from the target mix).
+    One aggregation (source_mixture) + constant arithmetic over the
+    per-source frame; the targets ride the plan as a literal CASE chain,
+    bounded by the source count."""
+    mix = source_mixture(docs, text_col, source_col)
+    tgt = F.lit(0.0)
+    for src, share in sorted(targets.items()):
+        tgt = F.when(F.col(source_col) == src, F.lit(float(share))) \
+            .otherwise(tgt)
+    return mix.select(
+        source_col, "n_docs", "n_tokens", "token_share",
+        F.round(tgt / F.col("token_share"), 6).alias("weight"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint:
