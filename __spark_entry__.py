@@ -1023,7 +1023,7 @@ scored AS (
   FROM e JOIN ham USING(vec_id) WHERE ham.ham <= {max_hamming}
 )
 SELECT {proj} FROM scored
-ORDER BY cos DESC, vec_id ASC LIMIT {k}
+ORDER BY scored.cos DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -1071,7 +1071,7 @@ scored AS (
   WHERE assign.cid IN (SELECT cid FROM probes)
 )
 SELECT vec_id, round(cos, 6) AS cos FROM scored
-ORDER BY cos DESC, vec_id ASC LIMIT {k}
+ORDER BY scored.cos DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -1395,7 +1395,7 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings
         )
         SELECT vec_id, round(cos, 6) AS cos FROM scored
-        ORDER BY cos DESC, vec_id ASC LIMIT 20
+        ORDER BY scored.cos DESC, vec_id ASC LIMIT 20
     """
     sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
     sql["cross_contamination"] = _cross_contamination_oracle(n=3, tau=0.5)
@@ -1597,7 +1597,7 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
           FROM embeddings
         )
         SELECT vec_id, round(cos, 6) AS cos FROM scored
-        ORDER BY cos DESC, vec_id ASC LIMIT 20
+        ORDER BY scored.cos DESC, vec_id ASC LIMIT 20
     """
     sql["ann_ivf_topk"] = _ann_ivf_oracle(
         k=20, n_centroids=IVF_N_CENTROIDS, nprobe=IVF_NPROBE, seed=IVF_SEED

@@ -350,12 +350,23 @@ def test_training_sample_bounded_by_default(spark, emb):
         train_pq_codebooks,
     )
 
+    from visionsearch_spark.operators.similarity import (
+        _training_sample_filter,
+    )
+
     n = emb.count()
     target = 32
-    mod = _bounded_sample_mod(emb, "vec_id", target)
+    mod = _bounded_sample_mod(emb, target)
     assert mod == -(-n // target)
-    sampled = emb.filter((F.col("vec_id") % mod) == 0).count()
-    assert 0 < sampled <= target  # dense ids: ceil(n/mod) <= target
+    sampled = emb.filter(_training_sample_filter("vec_id", mod)).count()
+    # hash sampling keeps ~n/mod rows (binomial, not exact): bounded
+    assert 0 < sampled <= 3 * target
+
+    # id-distribution robustness: an ALL-ODD id space (2·id+1 side
+    # encoding) must still yield a non-empty sample — the raw `id % mod`
+    # stride sampled zero rows here (review finding r4)
+    odd = emb.select((F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding")
+    assert odd.filter(_training_sample_filter("vec_id", 2)).count() > 0
 
     c1 = train_ivf_centroids(emb, n_centroids=8, iters=5, seed=11,
                              target_sample=target)

@@ -191,3 +191,33 @@ def test_fast_path_plan_has_no_posting_shuffle(spark, built_store):
     filt.count()
     fplan = filt._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in fplan
+
+
+def test_segment_files_never_split_under_session_conf(
+        spark, transcripts, tmp_path_factory):
+    """The one-file-per-partition layout is a CORRECTNESS invariant of
+    the file-aligned query path (each file must hold complete shards).
+    A deployment-level spark.sql.files.maxRecordsPerFile would split
+    shard blocks across files — the segment writes pin the no-split
+    option per-write, so the session conf must not leak in."""
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+    try:
+        root = str(tmp_path_factory.mktemp("nosplit"))
+        store = build_index(transcripts, root, n_partitions=4, n_shards=8)
+        from visionsearch_spark.query.wand import _segment_files
+
+        files = _segment_files(store)
+        assert 0 < len(files) <= 4, files  # never more files than pids
+        got = topk(spark, store, "join filter", k=5).collect()
+        # scores must be complete per-doc sums: compare against a store
+        # built with the default (no-split) conf
+        clean_root = str(tmp_path_factory.mktemp("nosplit_ref"))
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+        ref_store = build_index(transcripts, clean_root,
+                                n_partitions=4, n_shards=8)
+        ref = topk(spark, ref_store, "join filter", k=5).collect()
+        assert [(r["docid"], r["score"]) for r in got] \
+            == [(r["docid"], r["score"]) for r in ref]
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)

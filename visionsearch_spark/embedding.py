@@ -155,18 +155,34 @@ def embed_text(
 ) -> DataFrame:
     """Batch text embedding: (id, embedding array<double>) via ONE
     Arrow-batched pandas_udf — the dense twin of the lexical tokenizer
-    UDF surface (SURVEY §2.9). The embedder is constructed once per
-    python worker (memoized closure), so heavy models load once per
-    executor, not per batch; output feeds build_ann_index /
+    UDF surface (SURVEY §2.9). The embedder instance is memoized in a
+    MODULE-LEVEL cache keyed on (model_name, kwargs): the module is
+    imported once per python worker process, so a heavy model loads once
+    per worker and is reused across every task/batch that worker runs —
+    a closure-captured cache would be re-deserialized empty with EVERY
+    task (review finding r4) and reload weights per task. model_kwargs
+    values must be hashable. Output feeds build_ann_index /
     build_ivf_index / build_ivfpq_index unchanged."""
-    holder: dict = {}
+    key_kwargs = tuple(sorted(model_kwargs.items()))
 
     @F.pandas_udf("array<double>")
     def emb_udf(texts: pd.Series) -> pd.Series:
-        emb = holder.get("e")
-        if emb is None:
-            emb = holder["e"] = create_embedder(model_name, **model_kwargs)
+        emb = _worker_embedder(model_name, key_kwargs)
         mat = emb.extract_text_feature(texts.tolist())
         return pd.Series(list(mat))
 
     return docs.select(F.col(id_col), emb_udf(F.col(text_col)).alias(out_col))
+
+
+# per-python-worker embedder instances (see embed_text docstring)
+_WORKER_EMBEDDERS: dict[tuple, BaseEmbedder] = {}
+
+
+def _worker_embedder(model_name: str, key_kwargs: tuple) -> BaseEmbedder:
+    key = (model_name, key_kwargs)
+    emb = _WORKER_EMBEDDERS.get(key)
+    if emb is None:
+        emb = _WORKER_EMBEDDERS[key] = create_embedder(
+            model_name, **dict(key_kwargs)
+        )
+    return emb

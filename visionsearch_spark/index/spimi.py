@@ -332,7 +332,13 @@ def build_index(
     (
         compacted.repartition(int(meta["n_partitions"]), "shard")
         .sortWithinPartitions("shard", "term", "min_docid")
-        .write.mode("overwrite")
+        # ONE FILE PER PARTITION is a correctness invariant, not a
+        # perf preference: the query fast path assigns whole FILES to
+        # tasks and relies on each file holding complete shards
+        # (PLANS.md §17). A deployment-level maxRecordsPerFile would
+        # silently split a shard's term blocks across files and turn
+        # per-task sums partial — pin the no-split behavior here.
+        .write.option("maxRecordsPerFile", 0).mode("overwrite")
         .parquet(store.epoch_path("segments", next_ep))
     )
     mark("compact_write")
@@ -429,7 +435,13 @@ def compact_store(spark: SparkSession, root: str,
     (
         compacted.repartition(n_partitions, "shard")
         .sortWithinPartitions("shard", "term", "min_docid")
-        .write.mode("overwrite")
+        # ONE FILE PER PARTITION is a correctness invariant, not a
+        # perf preference: the query fast path assigns whole FILES to
+        # tasks and relies on each file holding complete shards
+        # (PLANS.md §17). A deployment-level maxRecordsPerFile would
+        # silently split a shard's term blocks across files and turn
+        # per-task sums partial — pin the no-split behavior here.
+        .write.option("maxRecordsPerFile", 0).mode("overwrite")
         .parquet(store.epoch_path("segments", next_ep))
     )
     prev_live = [os.path.basename(p) for p in store.segment_paths()]         + [os.path.basename(p) for p in store.term_stats_paths()]

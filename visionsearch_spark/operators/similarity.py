@@ -239,15 +239,27 @@ def _seeded_centroids(dim: int, n_centroids: int, seed: int = 11) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _bounded_sample_mod(emb: DataFrame, id_col: str,
-                        target_sample: int) -> int:
-    """Derive the modular-sampling stride so the training collect is
-    bounded by construction: ceil(count / target_sample). The count() is
-    one cheap metadata-ish aggregation (parquet row-group counts at best,
-    one columnar scan at worst) — categorically cheaper than the
-    unbounded full-table collect the default otherwise risks."""
+def _bounded_sample_mod(emb: DataFrame, target_sample: int) -> int:
+    """Derive the sampling stride so the training collect is bounded by
+    construction: ceil(count / target_sample). The count() is one cheap
+    metadata-ish aggregation (parquet row-group counts at best, one
+    columnar scan at worst) — categorically cheaper than the unbounded
+    full-table collect the default otherwise risks."""
     n = emb.count()
     return max(1, -(-n // max(1, target_sample)))
+
+
+def _training_sample_filter(id_col: str, sample_mod: int):
+    """Deterministic ~1/sample_mod row filter that is ROBUST to the id
+    distribution: `pmod(xxhash64(id), mod) == 0`. A raw `id % mod`
+    stride assumes ids are dense ≡0 (mod stride) — an all-odd or strided
+    id space (e.g. the side-encoded 2·id+1 ids dedup uses) would make
+    the sample empty or degenerate. Hashing first makes the kept
+    fraction ≈ 1/mod for ANY id space, still partition- and
+    scale-out-invariant (xxhash64 is a pure function of the value)."""
+    if sample_mod <= 1:
+        return F.lit(True)
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
 
 
 def train_ivf_centroids(
@@ -263,21 +275,27 @@ def train_ivf_centroids(
     """Spherical k-means on a deterministic modular sample (driver-side
     numpy) — the trained coarse quantizer for :func:`build_ivf_index`.
 
-    Sampling is `id % sample_mod == 0` (scale-out invariant, same device
-    as textstats.deterministic_sample). By DEFAULT sample_mod is derived
-    from a cheap count() against `target_sample` (~1M, the conventional
-    IVF training-sample size — FAISS trains coarse quantizers on bounded
+    Sampling keeps rows with `pmod(xxhash64(id), sample_mod) == 0`
+    (deterministic for any id distribution — see
+    _training_sample_filter). By DEFAULT sample_mod is derived from a
+    cheap count() against `target_sample` (~1M, the conventional IVF
+    training-sample size — FAISS trains coarse quantizers on bounded
     samples the same way), so the driver-side collect is bounded by
     construction: `train_ivf_centroids(emb)` with no args can never
     collect an unbounded table. Pass sample_mod explicitly to override.
     Deterministic: seeded init, fixed iteration count, argmax ties go to
     the lowest centroid id (numpy argmax picks the first maximum)."""
     if sample_mod is None:
-        sample_mod = _bounded_sample_mod(emb, id_col, target_sample)
+        sample_mod = _bounded_sample_mod(emb, target_sample)
     rows = (
-        emb.filter((F.col(id_col) % sample_mod) == 0)
+        emb.filter(_training_sample_filter(id_col, sample_mod))
         .select(vec_col).collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: training sample is empty — pass "
+            "sample_mod=1 (or a smaller stride) for this table"
+        )
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = _seeded_centroids(x.shape[1], n_centroids, seed)
@@ -423,12 +441,13 @@ def train_pq_codebooks(
     codebook (euclidean Lloyd, seeded data-point init, fixed iterations —
     deterministic). Trained on the same bounded modular sample device as
     train_ivf_centroids: sample_mod defaults to ceil(count/target_sample)
-    so the no-args call can never drive an unbounded collect. Returns
-    (m, n_codes, dim/m) float64."""
+    so the no-args call can never drive an unbounded collect, and the
+    filter hashes the id first (robust to strided/offset id spaces).
+    Returns (m, n_codes, dim/m) float64."""
     if sample_mod is None:
-        sample_mod = _bounded_sample_mod(emb, id_col, target_sample)
+        sample_mod = _bounded_sample_mod(emb, target_sample)
     rows = (
-        emb.filter((F.col(id_col) % sample_mod) == 0)
+        emb.filter(_training_sample_filter(id_col, sample_mod))
         .select(vec_col).collect()
     )
     vecs = [r[0] for r in rows if r[0] is not None]  # nulls excluded

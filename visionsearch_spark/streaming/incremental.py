@@ -219,7 +219,13 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         (
             compacted.repartition(n_partitions, "shard")
             .sortWithinPartitions("shard", "term", "min_docid")
-            .write.mode("overwrite")
+            # ONE FILE PER PARTITION is a correctness invariant, not a
+            # perf preference: the query fast path assigns whole FILES to
+            # tasks and relies on each file holding complete shards
+            # (PLANS.md §17). A deployment-level maxRecordsPerFile would
+            # silently split a shard's term blocks across files and turn
+            # per-task sums partial — pin the no-split behavior here.
+            .write.option("maxRecordsPerFile", 0).mode("overwrite")
             .parquet(store.epoch_path("segments", next_ep))
         )
         seg_dirs = [os.path.basename(p) for p in store.segment_paths()]
