@@ -282,6 +282,23 @@ def _cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_contamination(docs, bench, n=3, tau=0.5)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs: the
+    transitive-closure step a keep-one-per-group dedup actually
+    consumes. Spark side iterates min-label propagation to a fixpoint;
+    the DuckDB twin computes the same components with a WITH RECURSIVE
+    transitive closure — exact agreement because both resolve to
+    min-id-per-component."""
+    from visionsearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.6)
+    return neardup_clusters(pairs)
+
+
 def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.dedup import simhash
 
@@ -689,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _dedup_minhash_lsh,
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
             "cross_contamination": _cross_contamination,
+            "dedup_clusters": _dedup_clusters,
             "simhash64": _simhash64,
             "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
@@ -1401,6 +1419,23 @@ def oracle_sql() -> dict[str, str]:
     sql["cross_contamination"] = _cross_contamination_oracle(n=3, tau=0.5)
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)
+    # connected components over the minhash pairs: transitive closure by
+    # recursion (UNION dedups rows, so the fixpoint terminates), label =
+    # min reachable id — identical to Spark's min-label propagation
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle(n=3, tau=0.6)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
     sql["simhash64"] = _simhash_oracle(64)
     sql["simhash_neardup"] = (
         "WITH s AS (" + _simhash_oracle(64) + """)

@@ -268,3 +268,37 @@ def test_cross_contamination_collapse_equals_uncollapsed(spark, docs_df):
     assert (8, 51) in on        # both sides' dup members expand
     assert (3, 52) in on
     assert not any(b == 53 for (_, b) in on)
+
+
+def test_neardup_clusters(spark):
+    """Min-label propagation = connected components: a chain merges into
+    one component labeled by its min id; disjoint components stay
+    separate; the persisted frame is released via unpersist_handle."""
+    from visionsearch_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain (diameter 3), component {10,11}
+        [(2, 3), (1, 2), (3, 4), (10, 11)],
+        "id_a long, id_b long",
+    )
+    handle: list = []
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(pairs, unpersist_handle=handle).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for df in handle:
+        df.unpersist()
+
+    # keep-one-per-cluster composition: representative = label owner
+    keep = {d for d, c in got.items() if d == c}
+    assert keep == {1, 10}
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    from visionsearch_spark.operators.dedup import neardup_clusters
+
+    # a 6-chain has diameter 5: max_iter=2 must fail loudly, not return
+    # partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, max_iter=2)

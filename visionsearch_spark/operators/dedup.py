@@ -316,6 +316,80 @@ def _verify_jaccard(cands: DataFrame, sids: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
+                     unpersist_handle: list | None = None) -> DataFrame:
+    """Connected components over near-dup PAIRS — the step a dedup
+    pipeline actually consumes: pairs only say "a ~ b"; keep-one-per-
+    group needs the transitive closure. Returns (doc_id, cluster_id)
+    with cluster_id = the MIN doc id in the component, for every doc
+    appearing in >=1 pair (docs in no pair are their own trivial
+    cluster — callers left-join and coalesce). The canonical dedup rule
+    is then "keep doc iff doc_id == cluster_id".
+
+    Min-label propagation: every round each node adopts the min of its
+    own and its neighbors' labels; converges in O(component diameter)
+    rounds. Near-dup components are overwhelmingly dense (dup clusters
+    are cliques through their representative; diameter 2-4), so a
+    handful of rounds closes real corpora; each round is one
+    partial-aggregated join+groupBy on (node, label) pairs — no driver
+    materialization of edges. Convergence is detected with a changed-
+    label COUNT per round (one scalar to the driver); per-round persists
+    truncate the iterative lineage (Spark re-executes unpersisted
+    branches per action). For adversarial long-chain graphs at 10^12
+    edges, swap in the large-star/small-star alternation (CC-on-
+    MapReduce pattern) — same join shapes, fewer rounds."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("lbl", F.col("node")).persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("node").alias("b"),
+                                  F.col("lbl").alias("nlbl")), "b")
+                .groupBy("a").agg(F.min("nlbl").alias("minn"))
+            )
+            new = (
+                labels.join(nbr.withColumnRenamed("a", "node"),
+                            "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"),
+                            F.coalesce("minn", F.col("lbl"))).alias("lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new.join(labels.select("node",
+                                       F.col("lbl").alias("_old")), "node")
+                .filter(F.col("lbl") != F.col("_old")).count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"neardup_clusters did not converge in {max_iter} rounds "
+                "(component diameter > max_iter — raise max_iter or use "
+                "the star-alternation variant)"
+            )
+        # the result rides the final round's persisted labels frame —
+        # pass unpersist_handle (dense_ids convention) to release it
+        # after materializing; without it the cache lives until GC
+        if unpersist_handle is not None:
+            unpersist_handle.append(labels)
+        return labels.select(F.col("node").alias("doc_id"),
+                             F.col("lbl").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   n_bits: int = 64) -> DataFrame:
