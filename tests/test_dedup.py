@@ -292,6 +292,12 @@ def test_neardup_clusters(spark):
     keep = {d for d, c in got.items() if d == c}
     assert keep == {1, 10}
 
+    # diameter == max_iter must CONVERGE (the quiet confirmation round
+    # runs outside the budget): the 1-2-3-4 chain has diameter 3
+    got3 = {r["doc_id"]: r["cluster_id"] for r in
+            neardup_clusters(pairs, max_iter=3).collect()}
+    assert got3 == got
+
 
 def test_neardup_clusters_nonconvergence_raises(spark):
     from visionsearch_spark.operators.dedup import neardup_clusters

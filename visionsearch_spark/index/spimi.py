@@ -329,18 +329,8 @@ def build_index(
     mark("term_stats")
     shard_range = int(meta["shard_range"])
     compacted = _compact_segments(frags, shard_range)
-    (
-        compacted.repartition(int(meta["n_partitions"]), "shard")
-        .sortWithinPartitions("shard", "term", "min_docid")
-        # ONE FILE PER PARTITION is a correctness invariant, not a
-        # perf preference: the query fast path assigns whole FILES to
-        # tasks and relies on each file holding complete shards
-        # (PLANS.md §17). A deployment-level maxRecordsPerFile would
-        # silently split a shard's term blocks across files and turn
-        # per-task sums partial — pin the no-split behavior here.
-        .write.option("maxRecordsPerFile", 0).mode("overwrite")
-        .parquet(store.epoch_path("segments", next_ep))
-    )
+    write_segments(compacted, int(meta["n_partitions"]),
+                   store.epoch_path("segments", next_ep))
     mark("compact_write")
     prev_live = (meta.get("segment_dirs") or []) + (meta.get("term_stats_dirs") or [])
     meta.update({
@@ -432,18 +422,8 @@ def compact_store(spark: SparkSession, root: str,
         "overwrite"
     ).parquet(store.epoch_path("term_stats", next_ep))
     compacted = _compact_segments(frags, int(meta["shard_range"]))
-    (
-        compacted.repartition(n_partitions, "shard")
-        .sortWithinPartitions("shard", "term", "min_docid")
-        # ONE FILE PER PARTITION is a correctness invariant, not a
-        # perf preference: the query fast path assigns whole FILES to
-        # tasks and relies on each file holding complete shards
-        # (PLANS.md §17). A deployment-level maxRecordsPerFile would
-        # silently split a shard's term blocks across files and turn
-        # per-task sums partial — pin the no-split behavior here.
-        .write.option("maxRecordsPerFile", 0).mode("overwrite")
-        .parquet(store.epoch_path("segments", next_ep))
-    )
+    write_segments(compacted, n_partitions,
+                   store.epoch_path("segments", next_ep))
     prev_live = [os.path.basename(p) for p in store.segment_paths()]         + [os.path.basename(p) for p in store.term_stats_paths()]
     meta.update({
         "epoch": next_ep,
@@ -459,6 +439,23 @@ def compact_store(spark: SparkSession, root: str,
 
     invalidate_term_df_memo(store.root)
     return store
+
+
+def write_segments(compacted, n_partitions: int, path: str) -> None:
+    """THE segment write: shard-hash partitioned, key-sorted, and pinned
+    to one file per partition. ONE FILE PER PARTITION is a correctness
+    invariant, not a perf preference — the query fast path assigns whole
+    FILES to tasks and relies on each file holding complete shards
+    (PLANS.md §17); a deployment-level maxRecordsPerFile would silently
+    split a shard's term blocks across files and turn per-task sums
+    partial. One shared implementation (build, compact, append) so the
+    invariant cannot drift (the spimi_pending rule, CLAUDE.md r3)."""
+    (
+        compacted.repartition(n_partitions, "shard")
+        .sortWithinPartitions("shard", "term", "min_docid")
+        .write.option("maxRecordsPerFile", 0).mode("overwrite")
+        .parquet(path)
+    )
 
 
 def _compact_segments(frags: DataFrame, shard_range: int,

@@ -346,8 +346,12 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("lbl", F.col("node")).persist()
     )
+    converged = False
     try:
-        for _ in range(max_iter):
+        # max_iter + 1: convergence needs one all-quiet round AFTER the
+        # last label flip, so a diameter-max_iter component must not be
+        # misreported as non-converging
+        for _ in range(max_iter + 1):
             nbr = (
                 edges.join(
                     labels.select(F.col("node").alias("b"),
@@ -372,8 +376,9 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
             labels.unpersist()
             labels = new
             if changed == 0:
+                converged = True
                 break
-        else:
+        if not converged:
             raise RuntimeError(
                 f"neardup_clusters did not converge in {max_iter} rounds "
                 "(component diameter > max_iter — raise max_iter or use "
@@ -388,6 +393,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
                              F.col("lbl").alias("cluster_id"))
     finally:
         edges.unpersist()
+        if not converged:  # error path must not leak the cached labels
+            labels.unpersist()
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

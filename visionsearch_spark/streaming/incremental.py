@@ -216,18 +216,10 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
             "overwrite"
         ).parquet(store.epoch_path("term_stats", next_ep))
         compacted = _compact_segments(frags, int(meta["shard_range"]))
-        (
-            compacted.repartition(n_partitions, "shard")
-            .sortWithinPartitions("shard", "term", "min_docid")
-            # ONE FILE PER PARTITION is a correctness invariant, not a
-            # perf preference: the query fast path assigns whole FILES to
-            # tasks and relies on each file holding complete shards
-            # (PLANS.md §17). A deployment-level maxRecordsPerFile would
-            # silently split a shard's term blocks across files and turn
-            # per-task sums partial — pin the no-split behavior here.
-            .write.option("maxRecordsPerFile", 0).mode("overwrite")
-            .parquet(store.epoch_path("segments", next_ep))
-        )
+        from visionsearch_spark.index.spimi import write_segments
+
+        write_segments(compacted, n_partitions,
+                       store.epoch_path("segments", next_ep))
         seg_dirs = [os.path.basename(p) for p in store.segment_paths()]
         ts_dirs = [os.path.basename(p) for p in store.term_stats_paths()]
         meta.update({
