@@ -299,6 +299,15 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: survivors = corpus minus every
+    non-representative cluster member (keep min id per component)."""
+    from visionsearch_spark.operators.dedup import dedup_corpus
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return dedup_corpus(docs, n=3, tau=0.6).select("doc_id", "source")
+
+
 def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.dedup import simhash
 
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
             "cross_contamination": _cross_contamination,
             "dedup_clusters": _dedup_clusters,
+            "dedup_corpus": _dedup_corpus,
             "simhash64": _simhash64,
             "simhash_neardup": _simhash_neardup,
             "lang_id": _lang_id,
@@ -1435,6 +1445,26 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM reach GROUP BY a
+"""
+    sql["dedup_corpus"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle(n=3, tau=0.6)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+)
 """
     sql["simhash64"] = _simhash_oracle(64)
     sql["simhash_neardup"] = (

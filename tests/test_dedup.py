@@ -308,3 +308,22 @@ def test_neardup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(5)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(pairs, max_iter=2)
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """docs -> pairs -> components -> survivors: exact dups and
+    near-dups collapse to the min-id representative; unaffected docs
+    pass through with all columns."""
+    from visionsearch_spark.operators.dedup import dedup_corpus
+
+    rows = list(DOCS) + [(8, DOCS[1][1])]  # extra exact dup of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    handle: list = []
+    kept = sorted(r["doc_id"] for r in
+                  dedup_corpus(df, n=3, tau=0.5,
+                               unpersist_handle=handle).collect())
+    for c in handle:
+        c.unpersist()
+    # component {0,1,5,8} (near-dups + exact dups) -> keep 0;
+    # component {2,3} -> keep 2; 4, 6, 7 untouched
+    assert kept == [0, 2, 4, 6, 7]

@@ -397,6 +397,25 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
             labels.unpersist()
 
 
+def dedup_corpus(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_iter: int = 25,
+                 unpersist_handle: list | None = None) -> DataFrame:
+    """END-TO-END near-dup corpus dedup — the composition a pipeline
+    actually runs: MinHash-LSH pairs (duplicate-cluster-guarded) ->
+    connected components -> keep each component's min-id representative.
+    Returns the SURVIVING docs with all their columns (docs in no
+    near-dup pair survive trivially). Anti-join on the non-representative
+    set: the drop list is |docs in clusters| - |clusters| rows — small
+    relative to the corpus, so AQE broadcasts it."""
+    pairs = minhash_lsh_pairs(docs, n, tau, text_col, id_col)
+    clusters = neardup_clusters(pairs, max_iter,
+                                unpersist_handle=unpersist_handle)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   n_bits: int = 64) -> DataFrame:

@@ -475,15 +475,21 @@ def _carry_bounds_spark(spark: SparkSession, per: DataFrame,
 
 
 def _segment_files(store: IndexStore) -> list[str]:
-    """Every live segment parquet file, across all LSM dirs."""
+    """Every live segment parquet file, across all LSM dirs — sorted by
+    size DESCENDING: the fast path assigns files to tasks round-robin in
+    row order, and consecutive-assignment of a size-sorted list is the
+    classic LPT greedy, so a store with skewed shard sizes (Zipf-heavy
+    terms concentrate bytes in a few shards) still yields balanced
+    tasks. Listing + stat is O(n_files) driver metadata."""
     import os
 
     files = []
     for d in store.segment_paths():
-        for f in sorted(os.listdir(d)):
+        for f in os.listdir(d):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                files.append(os.path.join(d, f))
-    return files
+                p = os.path.join(d, f)
+                files.append((-os.path.getsize(p), p))
+    return [p for _sz, p in sorted(files)]
 
 
 def _make_file_score_fn(qplans, avgdl: float, threshold: float,
