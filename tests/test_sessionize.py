@@ -396,3 +396,55 @@ def test_streaming_dedup_state_writes_flat(spark, tmp_path_factory):
     # batch's delta carried ~8x the first's.
     first, last = sizes[versions[0]], sizes[versions[-1]]
     assert last <= first * 1.5, (first, last, sizes)
+
+
+def test_streaming_source_counts_equal_batch(spark, tmp_path_factory):
+    """Running per-source (n_docs, n_tokens) totals over a chunked doc
+    stream == the batch source_mixture aggregation after the last
+    micro-batch. Complete-mode foreachBatch capture (memory sink cannot
+    recover checkpoints; the parquet sink cannot do complete mode)."""
+    from visionsearch_spark.operators.textstats import source_mixture
+    from visionsearch_spark.streaming.aggregates import (
+        source_token_counts_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text", "source").orderBy("doc_id").limit(300)
+    rows = [(int(r["doc_id"]), r["text"], r["source"])
+            for r in docs.collect()]
+    root = str(tmp_path_factory.mktemp("src_counts"))
+    spool = os.path.join(root, "spool")
+    os.makedirs(spool)
+    for i in range(3):
+        chunk = rows[i * 100:(i + 1) * 100]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([c[0] for c in chunk], pa.int64()),
+                "text": pa.array([c[1] for c in chunk], pa.string()),
+                "source": pa.array([c[2] for c in chunk], pa.string()),
+            }),
+            os.path.join(spool, f"{i:04d}.parquet"),
+        )
+    out = os.path.join(root, "out")
+
+    def capture(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)  # latest totals win
+
+    q = (
+        source_token_counts_stream(
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1).parquet(spool)
+        )
+        .writeStream.outputMode("complete")
+        .foreachBatch(capture)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r["source"]: (r["n_docs"], r["n_tokens"])
+           for r in spark.read.parquet(out).collect()}
+    batch = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want = {r["source"]: (r["n_docs"], r["n_tokens"])
+            for r in source_mixture(batch).collect()}
+    assert got == want

@@ -38,3 +38,29 @@ def tumbling_counts_stream(
             "sum_value",
         )
     )
+
+
+def source_token_counts_stream(docs: DataFrame, text_col: str = "text",
+                               source_col: str = "source") -> DataFrame:
+    """Continuous training-mixture accounting: running (source, n_docs,
+    n_tokens) totals over an unbounded document stream — the streaming
+    twin of operators/textstats.source_mixture's aggregation stage (the
+    share division happens at read time over the handful of source rows).
+
+    Streaming groupBy with NO watermark/window: totals are running
+    forever-aggregates, so the sink mode is update/complete (a total is
+    never "final"). State is O(#sources) — bounded by construction, the
+    same argument as the batch op's global window. Tokenization is the
+    frozen JVM analyzer (tokens_col), so counts are bit-identical to the
+    batch twin, which is the oracle in tests."""
+    from visionsearch_spark.analyzer import tokens_col
+
+    return (
+        docs.select(source_col,
+                    F.size(tokens_col(text_col)).alias("_n"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
