@@ -1305,6 +1305,30 @@ SELECT doc_id, round(score, 6) AS score FROM ranked WHERE rnk <= {k}
 """
 
 
+def _components_ctes(pairs_sql: str) -> str:
+    """WITH RECURSIVE prelude computing clusters(doc_id, cluster_id) —
+    min id per connected component — from any pairs(id_a, id_b) query:
+    transitive closure by recursion (UNION dedups rows, so the fixpoint
+    terminates), label = min reachable id, identical to Spark's
+    min-label propagation (dedup.neardup_clusters)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+"""
+
+
 def _embed_hashproj_oracle(dim: int) -> str:
     """DuckDB twin of embedding.HashProjectionEmbedder: token hash =
     md5_number_lower (little-endian low 8 md5 bytes — byte-identical to
@@ -1429,43 +1453,22 @@ def oracle_sql() -> dict[str, str]:
     sql["cross_contamination"] = _cross_contamination_oracle(n=3, tau=0.5)
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)
-    # connected components over the minhash pairs: transitive closure by
-    # recursion (UNION dedups rows, so the fixpoint terminates), label =
-    # min reachable id — identical to Spark's min-label propagation
-    sql["dedup_clusters"] = f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle(n=3, tau=0.6)}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-FROM reach GROUP BY a
-"""
-    sql["dedup_corpus"] = f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle(n=3, tau=0.6)}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-clusters AS (
-  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-  FROM reach GROUP BY a
-)
+    # connected components over the minhash pairs: ONE closure SQL
+    # (_components_ctes) shared by both cluster-consuming oracles so the
+    # recursion can never drift between them
+    sql["dedup_clusters"] = (
+        _components_ctes(_minhash_oracle(n=3, tau=0.6))
+        + "\nSELECT doc_id, cluster_id FROM clusters\n"
+    )
+    sql["dedup_corpus"] = (
+        _components_ctes(_minhash_oracle(n=3, tau=0.6))
+        + """
 SELECT d.doc_id, d.source FROM documents d
 WHERE d.doc_id NOT IN (
   SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
 )
 """
+    )
     sql["simhash64"] = _simhash_oracle(64)
     sql["simhash_neardup"] = (
         "WITH s AS (" + _simhash_oracle(64) + """)

@@ -474,22 +474,40 @@ def _carry_bounds_spark(spark: SparkSession, per: DataFrame,
     )
 
 
-def _segment_files(store: IndexStore) -> list[str]:
-    """Every live segment parquet file, across all LSM dirs — sorted by
-    size DESCENDING: the fast path assigns files to tasks round-robin in
-    row order, and consecutive-assignment of a size-sorted list is the
-    classic LPT greedy, so a store with skewed shard sizes (Zipf-heavy
-    terms concentrate bytes in a few shards) still yields balanced
-    tasks. Listing + stat is O(n_files) driver metadata."""
+def _segment_files(store: IndexStore) -> list[tuple[int, str]]:
+    """Every live segment parquet file across all LSM dirs, as
+    (size_bytes, path). Listing + stat is O(n_files) driver metadata."""
     import os
 
     files = []
     for d in store.segment_paths():
-        for f in os.listdir(d):
+        for f in sorted(os.listdir(d)):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 p = os.path.join(d, f)
-                files.append((-os.path.getsize(p), p))
-    return [p for _sz, p in sorted(files)]
+                files.append((os.path.getsize(p), p))
+    return files
+
+
+def _lpt_bins(files: list[tuple[int, str]], n_bins: int) -> list[list[str]]:
+    """Greedy LPT: files in size-descending order, each into the
+    currently-lightest bin — balanced BYTES per bin even when Zipf-heavy
+    terms concentrate a store's bytes in a few shards. The bins (not the
+    files) are the unit Spark distributes: round-robin repartition of
+    exactly n_bins rows puts ONE bin on each task by count — which bin
+    lands on which task is arbitrary, and doesn't matter. (Sorting the
+    file ROWS instead would be a no-op: Spark's round-robin exchange
+    re-sorts and stripes rows from a random offset, discarding input
+    order — verified against PySpark 4.1.2.)"""
+    import heapq
+
+    heap = [(0, i) for i in range(n_bins)]  # (bytes, bin)
+    heapq.heapify(heap)
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    for sz, p in sorted(files, key=lambda t: (-t[0], t[1])):
+        load, i = heapq.heappop(heap)
+        bins[i].append(p)
+        heapq.heappush(heap, (load + sz, i))
+    return [b for b in bins if b]
 
 
 def _make_file_score_fn(qplans, avgdl: float, threshold: float,
@@ -511,7 +529,8 @@ def _make_file_score_fn(qplans, avgdl: float, threshold: float,
 
         paths: list[str] = []
         for b in batches:
-            paths.extend(b.column("path").to_pylist())
+            for lst in b.column("paths").to_pylist():
+                paths.extend(lst)
         if not paths:
             return
         scanner = pads.dataset(paths, format="parquet").scanner(
@@ -588,13 +607,16 @@ def _partial_scores(
         files = _segment_files(store)
         if not files:  # store with no committed segments: nothing to hit
             return None, []
-        paths_df = _local_df(spark, [(p,) for p in files],
-                             "path string", ["path"])
-        # round-robin repartition = exact balance of files over tasks;
-        # parallelism caps at the file count (= build n_partitions per
-        # live dir — size n_partitions for the query fleet, not just the
-        # build)
-        partials = paths_df.repartition(min(n_tasks, len(files))).mapInArrow(
+        # LPT-pack files into byte-balanced bins, ONE BIN PER TASK (a
+        # round-robin repartition of exactly n rows is count-exact, so
+        # every task gets one bin whatever the shuffle's internal row
+        # order); parallelism caps at the file count (= build
+        # n_partitions per live dir — size n_partitions for the query
+        # fleet, not just the build)
+        bins = _lpt_bins(files, min(n_tasks, len(files)))
+        paths_df = _local_df(spark, [(b,) for b in bins],
+                             "paths array<string>", ["paths"])
+        partials = paths_df.repartition(len(bins)).mapInArrow(
             _make_file_score_fn(qplans, avgdl, threshold, hit_terms),
             "query_id long, docid long, score double",
         )
