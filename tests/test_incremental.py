@@ -374,7 +374,9 @@ def test_appended_store_boundary_tie_resolves_by_conv(spark, tmp_path_factory):
     # boundary (docids 2=m02 and 3=a90), so within that shard docid order
     # (m02 first) diverges from conv order (a90 first).
     first = [(f"m{i:02d}", 1, "apple banana shared text") for i in range(3)]
-    incremental_build(_mk_tx(spark, first), root, n_partitions=2)
+    # n_shards pinned: the scenario NEEDS shard_range=2 (the straddling
+    # shard); the default shard count is a tuning knob, not part of it
+    incremental_build(_mk_tx(spark, first), root, n_partitions=2, n_shards=2)
     # appended convs: lexicographically FIRST, docids LAST (3..6)
     both = first + [(f"a9{i}", 1, "apple banana shared text")
                     for i in range(4)]

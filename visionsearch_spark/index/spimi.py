@@ -272,8 +272,13 @@ def build_index(
         )
         # shard = query-time unit of docid-range co-location. Target ~128k
         # docs per shard (posting decode stays cache-friendly), but never
-        # fewer shards than build partitions (query parallelism floor).
-        n_shards_eff = n_shards or max(n_partitions, n_docs // 131072)
+        # fewer than 4x build partitions: segments hash-partition BY
+        # SHARD into files, and hashing n keys into n buckets leaves
+        # ~1/e of the files EMPTY (measured: 8 shards -> 4 files) —
+        # empty files cap the file-aligned query path's parallelism and
+        # skew the occupied ones. At 4 keys/bucket (Poisson) occupancy
+        # is ~98% and per-file load evens out.
+        n_shards_eff = n_shards or max(4 * n_partitions, n_docs // 131072)
         shard_range = max(1, -(-n_docs // n_shards_eff))  # ceil div
         rows_per_pid = max(1, -(-n_docs // n_partitions))
         staged = toks.withColumn(
@@ -449,11 +454,23 @@ def write_segments(compacted, n_partitions: int, path: str) -> None:
     (PLANS.md §17); a deployment-level maxRecordsPerFile would silently
     split a shard's term blocks across files and turn per-task sums
     partial. One shared implementation (build, compact, append) so the
-    invariant cannot drift (the spimi_pending rule, CLAUDE.md r3)."""
+    invariant cannot drift (the spimi_pending rule, CLAUDE.md r3).
+
+    WITHIN each file rows sort TERM-FIRST with bounded row groups (8 MB):
+    row-group statistics on the term column then cover narrow term
+    ranges, so a query's term-IN filter PRUNES row groups instead of
+    merely post-filtering rows — shard-first sorting made every row
+    group span the whole term alphabet and pruning a no-op. File
+    completeness (all of a shard's rows in one file) comes from the
+    partitioning alone; the in-file order is free to serve the read
+    path. Trade-off: LocalSearcher(shards=...) per-shard loads scan more
+    row groups — a once-per-process load, vs pruning on every query."""
     (
         compacted.repartition(n_partitions, "shard")
-        .sortWithinPartitions("shard", "term", "min_docid")
-        .write.option("maxRecordsPerFile", 0).mode("overwrite")
+        .sortWithinPartitions("term", "shard", "min_docid")
+        .write.option("maxRecordsPerFile", 0)
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .mode("overwrite")
         .parquet(path)
     )
 

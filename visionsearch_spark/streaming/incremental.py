@@ -56,7 +56,8 @@ def pending_rows(transcripts: DataFrame, store: IndexStore) -> DataFrame:
 
 def incremental_build(transcripts: DataFrame, root: str,
                       n_partitions: int | None = None,
-                      max_live_dirs: int = 8) -> IndexStore:
+                      max_live_dirs: int = 8,
+                      n_shards: int | None = None) -> IndexStore:
     """Index only rows absent from the docmap, appending to the store.
 
     Crash-safe append protocol (the staged parquet IS the docmap, so an
@@ -88,7 +89,10 @@ def incremental_build(transcripts: DataFrame, root: str,
     spark = transcripts.sparkSession
     store = IndexStore(root)
     if not os.path.exists(store.meta_path):
-        return build_index(transcripts, root, n_partitions=n_partitions)
+        # n_shards applies to the FOUNDING build only: appends inherit
+        # shard_range from meta (docid-range geometry is immutable)
+        return build_index(transcripts, root, n_partitions=n_partitions,
+                           n_shards=n_shards)
 
     meta = store.read_meta()
     needs_repair = meta.get("phase") == "appending"
