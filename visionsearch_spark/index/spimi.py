@@ -272,13 +272,12 @@ def build_index(
         )
         # shard = query-time unit of docid-range co-location. Target ~128k
         # docs per shard (posting decode stays cache-friendly), but never
-        # fewer than 4x build partitions: segments hash-partition BY
-        # SHARD into files, and hashing n keys into n buckets leaves
-        # ~1/e of the files EMPTY (measured: 8 shards -> 4 files) —
-        # empty files cap the file-aligned query path's parallelism and
-        # skew the occupied ones. At 4 keys/bucket (Poisson) occupancy
-        # is ~98% and per-file load evens out.
-        n_shards_eff = n_shards or max(4 * n_partitions, n_docs // 131072)
+        # fewer shards than build partitions (query parallelism floor).
+        # (A 4x-partitions floor was tried for file occupancy and
+        # regressed build 17-40% at sf0.1 — more shards fragment every
+        # cross-shard term's blocks; occupancy is solved in
+        # write_segments by RANGE-partitioning instead.)
+        n_shards_eff = n_shards or max(n_partitions, n_docs // 131072)
         shard_range = max(1, -(-n_docs // n_shards_eff))  # ceil div
         rows_per_pid = max(1, -(-n_docs // n_partitions))
         staged = toks.withColumn(
@@ -464,9 +463,17 @@ def write_segments(compacted, n_partitions: int, path: str) -> None:
     completeness (all of a shard's rows in one file) comes from the
     partitioning alone; the in-file order is free to serve the read
     path. Trade-off: LocalSearcher(shards=...) per-shard loads scan more
-    row groups — a once-per-process load, vs pruning on every query."""
+    row groups — a once-per-process load, vs pruning on every query.
+
+    RANGE-partitioned by shard, not hash: a RangePartitioner keeps equal
+    keys together (shard-complete files hold), fills EVERY partition
+    (hashing n shard keys into n buckets left ~1/e of the files empty —
+    empty files capped the file-aligned path's parallelism), and
+    balances row counts via sampling. Range boundaries re-sample per
+    job, but this is a single write action (the CLAUDE.md
+    repartitionByRange gotcha concerns branching two actions)."""
     (
-        compacted.repartition(n_partitions, "shard")
+        compacted.repartitionByRange(n_partitions, "shard")
         .sortWithinPartitions("term", "shard", "min_docid")
         .write.option("maxRecordsPerFile", 0)
         .option("parquet.block.size", 8 * 1024 * 1024)
