@@ -1589,7 +1589,9 @@ m AS (
   FROM a
 )
 SELECT source, n_docs, n_tokens, token_share,
-       round((CASE {tgt_cases} ELSE 0.0 END) / token_share, 6) AS weight
+       CASE WHEN token_share > 0
+            THEN round((CASE {tgt_cases} ELSE 0.0 END) / token_share, 6)
+            ELSE NULL END AS weight
 FROM m
 """
     from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME

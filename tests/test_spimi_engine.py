@@ -169,19 +169,25 @@ def test_rebuild_is_idempotent(spark, transcripts, built_store, tmp_path_factory
 
 
 def test_fast_path_plan_has_no_posting_shuffle(spark, built_store):
-    """Layout-invariant regression guard (PLANS.md §17): the unfiltered
-    batch plan must NOT repartition posting data — segment files are
+    """Layout-invariant regression guard (PLANS.md §17): the batch plan
+    must NOT move posting data through Spark — segment files are
     shard-complete per file and LSM dirs docid-disjoint, so the kernel
     runs over whole-file tasks with only the ~100-byte path exchange.
-    Sideband queries (allow-filter) MUST keep the shard shuffle that
-    co-locates their gating rows with the blocks."""
+    Since r5 SIDEBAND queries (allow-filter / collapse) ride the same
+    file-aligned plan: their per-shard gating packs shuffle on
+    route_key (tiny), but segment files never appear in a Spark scan.
+    The sharp assertion is therefore "no FileScan over a segment dir"
+    — a shard-keyed exchange of the sideband AGG is fine; a shard-keyed
+    exchange fed by a segment scan is the r3 plan regressing."""
     from pyspark.sql import functions as F
 
+    seg_dirs = built_store.segment_paths()
     q = [(0, "join filter stream", 5)]
     fast = batch_topk(spark, built_store, q)
     fast.count()
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" not in plan
+    assert not any(d in plan for d in seg_dirs)
     # merge side: candidates broadcast into the docmap join, never a
     # docmap-wide shuffle (AQE converts at runtime on actual sizes)
     assert "BroadcastHashJoin" in plan
@@ -190,7 +196,79 @@ def test_fast_path_plan_has_no_posting_shuffle(spark, built_store):
     filt = batch_topk(spark, built_store, q, docid_filter=allow)
     filt.count()
     fplan = filt._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(shard" in fplan
+    # the filter's own per-shard pack agg may hash on shard; the
+    # POSTINGS must not: no Spark scan of any segment dir
+    assert not any(d in fplan for d in seg_dirs)
+    assert "hashpartitioning(route_key" in fplan
+    # and the legacy env pin still produces the r3 shuffle plan
+    import os
+
+    os.environ["VSS_QUERY_FORCE_SHUFFLE"] = "1"
+    try:
+        legacy = batch_topk(spark, built_store, q, docid_filter=allow)
+        legacy.count()
+        lplan = legacy._jdf.queryExecution().executedPlan().toString()
+        assert any(d in lplan for d in seg_dirs)
+        assert "hashpartitioning(shard" in lplan
+    finally:
+        os.environ.pop("VSS_QUERY_FORCE_SHUFFLE", None)
+
+
+def test_route_key_hash_matches_spark(spark):
+    """_mm3_long must equal Spark's F.hash for longs (the partitioning
+    hash behind repartition(n, col)) — if this drifts, route keys stop
+    landing one-per-partition. Balance only; correctness (equal keys
+    co-locate) holds under any hash, which this test also pins by
+    asserting the engineered keys really do land on distinct
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from visionsearch_spark.query.wand import _mm3_long, _route_keys
+
+    vals = (list(range(-1000, 1000, 7))
+            + [2**31, -(2**31), 2**62, -(2**62) + 3, (1 << 63) - 1,
+               -(1 << 63)])
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"]
+           for r in df.select("v", F.hash("v").alias("h")).collect()}
+    assert all(got[v] == _mm3_long(v) for v in vals)
+    for n in (1, 3, 17, 32):
+        kdf = spark.createDataFrame(
+            [(k,) for k in _route_keys(n)], "route_key long"
+        ).repartition(n, "route_key").select(
+            F.spark_partition_id().alias("p")
+        )
+        assert sorted(r["p"] for r in kdf.collect()) == list(range(n))
+
+
+def test_sideband_fast_path_matches_shuffle_plan(spark, built_store):
+    """The r5 routed-sideband fast path and the legacy shuffle plan must
+    be result-identical for filter, collapse, and their composition —
+    including on this store's multi-term and single-term queries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docmap = spark.read.parquet(built_store.docmap_path)
+    allow = docmap.filter(F.col("docid") % 3 != 1).select("docid")
+    bounds = docmap.groupBy("conv_id").agg(
+        F.min("docid").alias("docid")).select("docid")
+    cases = [
+        dict(docid_filter=allow),
+        dict(collapse_bounds=bounds),
+        dict(docid_filter=allow, collapse_bounds=bounds),
+    ]
+    queries = [(0, "join filter stream", 7), (1, "xylophone", 4)]
+    for kw in cases:
+        fast = batch_topk(spark, built_store, queries, **kw) \
+            .orderBy("query_id", "rank").collect()
+        os.environ["VSS_QUERY_FORCE_SHUFFLE"] = "1"
+        try:
+            slow = batch_topk(spark, built_store, queries, **kw) \
+                .orderBy("query_id", "rank").collect()
+        finally:
+            os.environ.pop("VSS_QUERY_FORCE_SHUFFLE", None)
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow], kw
 
 
 def test_segment_files_never_split_under_session_conf(

@@ -623,6 +623,14 @@ def cosine_topk_ivfpq(
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {meta['dim']}"
         )
+    if rerank == 0:
+        # 0 used to mean "default cut" (the old `rerank or 4*k`); since
+        # the explicit no-cut mode went negative, a literal 0 would
+        # limit(0) and silently return nothing — fail loudly instead
+        raise ValueError(
+            "rerank=0 would return an empty result; use rerank=None for "
+            "the 4*k default or rerank<0 for the no-cut exact mode"
+        )
     rerank = 4 * k if rerank is None else rerank
     m, n_codes = int(meta["m"]), int(meta["n_codes"])
     books = np.asarray(meta["books"], dtype=np.float64)

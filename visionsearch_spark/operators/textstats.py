@@ -340,17 +340,41 @@ def mixture_weights(docs: DataFrame, targets: dict[str, float],
     weight = target_share / actual token_share — the multiplier a
     mixture sampler applies to each source's sampling rate (>1 =
     oversample, <1 = downsample, 0 = excluded from the target mix).
-    One aggregation (source_mixture) + constant arithmetic over the
-    per-source frame; the targets ride the plan as a literal CASE chain,
-    bounded by the source count."""
-    mix = source_mixture(docs, text_col, source_col)
+
+    One aggregation (source_mixture) runs EAGERLY here and its bounded
+    result (one row per source) is collected so that (a) a `targets` key
+    naming no corpus source fails loudly — a typo'd source would
+    otherwise silently vanish and the emitted weights would no longer
+    sum to the intended mix — and (b) the corpus is scanned exactly once
+    even with the validation (validating on the lazy plan would re-run
+    the scan at the consumer's action). A source whose docs all tokenize
+    to zero tokens gets weight NULL (no resampling rate can give an
+    empty source a token share; ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO mid-job)."""
+    spark = docs.sparkSession
+    rows = [tuple(r) for r in
+            source_mixture(docs, text_col, source_col).collect()]
+    observed = {r[0] for r in rows}
+    missing = sorted(set(targets) - observed)
+    if missing:
+        raise ValueError(
+            f"mixture targets name sources absent from the corpus: "
+            f"{missing} (observed: {sorted(observed)})"
+        )
+    mix = spark.createDataFrame(
+        rows,
+        f"{source_col} string, n_docs bigint, n_tokens bigint, "
+        "token_share double",
+    )
     tgt = F.lit(0.0)
     for src, share in sorted(targets.items()):
         tgt = F.when(F.col(source_col) == src, F.lit(float(share))) \
             .otherwise(tgt)
     return mix.select(
         source_col, "n_docs", "n_tokens", "token_share",
-        F.round(tgt / F.col("token_share"), 6).alias("weight"),
+        F.when(F.col("token_share") > 0,
+               F.round(tgt / F.col("token_share"), 6))
+        .otherwise(F.lit(None).cast("double")).alias("weight"),
     )
 
 

@@ -474,6 +474,110 @@ def _carry_bounds_spark(spark: SparkSession, per: DataFrame,
     )
 
 
+def _mm3_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (the hash behind
+    `DataFrame.repartition(n, col)` for a LongType column, seed 42),
+    returned as a SIGNED 32-bit int. Pinned against F.hash by
+    test_route_key_hash_matches_spark — if Spark ever changed the
+    partitioning hash, route keys would stop landing one-per-partition
+    (balance would degrade; correctness would NOT: equal keys co-locate
+    under any hash)."""
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    def mixk1(k: int) -> int:
+        k = (k * 0xCC9E2D51) & 0xFFFFFFFF
+        k = rotl(k, 15)
+        return (k * 0x1B873593) & 0xFFFFFFFF
+
+    def mixh1(h: int, k: int) -> int:
+        h ^= k
+        h = rotl(h, 13)
+        return (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    v &= (1 << 64) - 1
+    h1 = mixh1(seed & 0xFFFFFFFF, mixk1(v & 0xFFFFFFFF))
+    h1 = mixh1(h1, mixk1(v >> 32))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_ROUTE_KEYS_MEMO: dict[int, list[int]] = {}
+
+
+def _route_keys(n: int) -> list[int]:
+    """keys[i] = smallest long whose Spark hash-partition over n
+    partitions is i. Repartitioning n rows keyed by these lands exactly
+    one row per partition DETERMINISTICALLY — unlike round-robin (whose
+    count-exactness depends on the input partitioning) or hashing a
+    plain bin index (which leaves ~1/e of partitions empty). Java's
+    `pmod(hash, n)` equals Python's `% n` for positive n (both
+    non-negative), so the probe is a direct modulo. Expected probes
+    n·H(n) ≈ n ln n — driver-side trivia, memoized per process."""
+    keys = _ROUTE_KEYS_MEMO.get(n)
+    if keys is None:
+        found: dict[int, int] = {}
+        k = 0
+        while len(found) < n:
+            p = _mm3_long(k) % n
+            if p not in found:
+                found[p] = k
+            k += 1
+        keys = [found[i] for i in range(n)]
+        _ROUTE_KEYS_MEMO[n] = keys
+    return keys
+
+
+# per-file shard range cache: files are immutable (LSM dirs append, never
+# rewrite in place), keyed (path, mtime) belt-and-braces. Bounded.
+_SHARD_RANGE_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
+_SHARD_RANGE_CACHE_MAX = 8192
+
+
+def _file_shard_range(path: str) -> tuple[int, int]:
+    """(min_shard, max_shard) of one segment file from its parquet
+    footer (row-group stats on the shard column — O(1) metadata, no data
+    read). Needed to route per-shard sideband rows to the task that owns
+    the file: range partitioning makes a file's shards contiguous, and a
+    dir-boundary shard straddling two LSM dirs simply appears in both
+    files' ranges (the sideband row is duplicated to both tasks;
+    np.unique in the kernel absorbs it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (path, os.path.getmtime(path))
+    rng = _SHARD_RANGE_CACHE.get(key)
+    if rng is None:
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        si = idx["shard"]
+        lo, hi = None, None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(si).statistics
+            if st is None or not st.has_min_max:
+                # stats absent (foreign writer): one column read, still
+                # cheap, and cached
+                import pyarrow.parquet as _pq
+
+                col = _pq.read_table(path, columns=["shard"])["shard"]
+                lo = int(pa.compute.min(col).as_py())
+                hi = int(pa.compute.max(col).as_py())
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        rng = (int(lo), int(hi))
+        while len(_SHARD_RANGE_CACHE) >= _SHARD_RANGE_CACHE_MAX:
+            _SHARD_RANGE_CACHE.pop(next(iter(_SHARD_RANGE_CACHE)))
+        _SHARD_RANGE_CACHE[key] = rng
+    return rng
+
+
 def _segment_files(store: IndexStore) -> list[tuple[int, str]]:
     """Every live segment parquet file across all LSM dirs, as
     (size_bytes, path). Listing + stat is O(n_files) driver metadata."""
@@ -511,34 +615,57 @@ def _lpt_bins(files: list[tuple[int, str]], n_bins: int) -> list[list[str]]:
 
 
 def _make_file_score_fn(qplans, avgdl: float, threshold: float,
-                        hit_terms: list[str]):
+                        hit_terms: list[str],
+                        has_filter: bool = False,
+                        has_bounds: bool = False):
     """File-aligned kernel: each task receives segment FILE PATHS, reads
     them directly (pyarrow dataset; term-IN filter prunes row groups off
     the same min/max stats the Spark scan would use; single-threaded —
     Spark owns the core), and delegates to the ordinary score kernel.
     use_threads=False because parallelism belongs to the task scheduler,
-    not a nested Arrow pool fighting 32 sibling tasks."""
+    not a nested Arrow pool fighting 32 sibling tasks.
+
+    Sideband rows (allow-lists / collapse bounds) arrive in the SAME
+    input as the path rows — per-shard packed rows routed by route_key
+    to the task owning the files whose shard ranges cover them
+    (`_partial_scores`). They are re-emitted to the inner kernel as a
+    prologue batch in the segment schema, so the masking/collapse logic
+    is byte-identical to the shuffle path's."""
     inner = _make_score_fn(qplans, avgdl, threshold,
-                           has_filter=False, has_bounds=False)
+                           has_filter=has_filter, has_bounds=has_bounds)
     cols = ["term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin",
             "max_tf", "min_dl"]
 
     def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import itertools
+
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
         paths: list[str] = []
+        side: list[tuple] = []
         for b in batches:
-            for lst in b.column("paths").to_pylist():
-                paths.extend(lst)
+            pdf = b.to_pandas()
+            has_side_cols = "term" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                if row.paths is not None:
+                    paths.extend(row.paths)
+                elif has_side_cols and row.term is not None:
+                    side.append((row.term, int(row.shard), int(row.n),
+                                 row.docids_bin, b"", b"", 0, 0))
         if not paths:
             return
+        prologue = []
+        if side:
+            prologue.append(pa.RecordBatch.from_pandas(
+                pd.DataFrame(side, columns=cols), preserve_index=False,
+            ))
         scanner = pads.dataset(paths, format="parquet").scanner(
             columns=cols,
             filter=pc.field("term").isin(hit_terms),
             use_threads=False,
         )
-        yield from inner(scanner.to_batches())
+        yield from inner(itertools.chain(prologue, scanner.to_batches()))
 
     return score
 
@@ -559,9 +686,10 @@ def _partial_scores(
     when every term is OOV.
 
     FILE-ALIGNED FAST PATH (no sidebands — the hot batch/serving path):
-    ZERO data shuffle. Every live segment dir is written
-    `repartition(n_partitions, "shard")` (spimi.py build/compact,
-    incremental.py append), so each segment FILE holds complete shards —
+    ZERO data shuffle. Every live segment dir is written by the ONE
+    shared `spimi.write_segments` (`repartitionByRange(n_partitions,
+    "shard")` + maxRecordsPerFile=0 — build, compact, and append all
+    call it), so each segment FILE holds complete shards —
     all terms' blocks for a shard co-located — and LSM increments own
     disjoint docid ranges; therefore ANY whole-file task assignment
     computes complete per-docid sums, and the per-partition k-cut stays
@@ -572,9 +700,18 @@ def _partial_scores(
     memory bus — this path removes that exchange entirely instead of
     tuning it.
 
-    SHUFFLE PATH (docid_filter / collapse_bounds): sideband rows must
-    ride the same partitioner as the blocks they gate, which the file
-    alignment cannot express — the explicit shard repartition stays."""
+    SIDEBAND QUERIES (docid_filter / collapse_bounds) ride the SAME
+    file-aligned plan since r5: the gating rows stay per-shard packs and
+    are routed to their blocks' task by joining each file's footer shard
+    range (broadcast, n_files rows) and shuffling ONLY the packs on
+    route_key — postings never move. Collapse stays exact per task: a
+    parent's best unit lives in exactly one (docid-disjoint) file, that
+    task emits the parent's global max, and other tasks' lower partials
+    lose in the final conv-level max merge (batch_topk). The filter
+    masks before the k-cut exactly as before.
+
+    SHUFFLE PATH (VSS_QUERY_FORCE_SHUFFLE=1 only): the r3-era explicit
+    shard repartition, kept verbatim for same-session A/B honesty."""
     meta = store.read_meta()
     avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
     shard_range = int(meta["shard_range"])
@@ -602,22 +739,102 @@ def _partial_scores(
     # VSS_QUERY_FORCE_SHUFFLE=1 pins the legacy shuffle plan — only for
     # same-session A/B measurement (jobs/scaling_bench.py honesty), never
     # a production switch
-    if (docid_filter is None and collapse_bounds is None
-            and not _os.environ.get("VSS_QUERY_FORCE_SHUFFLE")):
+    if not _os.environ.get("VSS_QUERY_FORCE_SHUFFLE"):
         files = _segment_files(store)
         if not files:  # store with no committed segments: nothing to hit
             return None, []
-        # LPT-pack files into byte-balanced bins, ONE BIN PER TASK (a
-        # round-robin repartition of exactly n rows is count-exact, so
-        # every task gets one bin whatever the shuffle's internal row
-        # order); parallelism caps at the file count (= build
+        # LPT-pack files into byte-balanced bins, ONE BIN PER TASK: bin i
+        # is keyed by _route_keys(n)[i], a long engineered to hash-
+        # partition to partition i, so repartition(n, "route_key") lands
+        # exactly one bin per task deterministically (round-robin was
+        # only count-exact from a single input partition — the r4 advice
+        # finding). Parallelism caps at the file count (= build
         # n_partitions per live dir — size n_partitions for the query
-        # fleet, not just the build)
+        # fleet, not just the build).
         bins = _lpt_bins(files, min(n_tasks, len(files)))
-        paths_df = _local_df(spark, [(b,) for b in bins],
-                             "paths array<string>", ["paths"])
-        partials = paths_df.repartition(len(bins)).mapInArrow(
-            _make_file_score_fn(qplans, avgdl, threshold, hit_terms),
+        rkeys = _route_keys(len(bins))
+        has_filter = docid_filter is not None
+        has_bounds = collapse_bounds is not None
+        if not has_filter and not has_bounds:
+            paths_df = _local_df(
+                spark, [(rkeys[i], b) for i, b in enumerate(bins)],
+                "route_key long, paths array<string>",
+                ["route_key", "paths"],
+            )
+            partials = paths_df.repartition(len(bins), "route_key") \
+                .mapInArrow(
+                    _make_file_score_fn(qplans, avgdl, threshold,
+                                        hit_terms),
+                    "query_id long, docid long, score double",
+                )
+            return partials, qplans
+        # SIDEBAND FAST PATH (r5): allow/bounds rows stay DISTRIBUTED
+        # per-shard packs (never an unbounded driver materialization or
+        # broadcast) and ride ONE small shuffle keyed by route_key to
+        # the task owning the files whose shard range covers them. The
+        # shard→task map is a broadcast range join against per-file
+        # (shard_lo, shard_hi) intervals read from parquet footers —
+        # n_files rows of driver metadata. Equal route keys co-locate
+        # under ANY hash, so correctness (every gating row reaches its
+        # blocks' task) never depends on the engineered-key balance.
+        # A dir-boundary shard straddling two files joins both
+        # intervals and is duplicated to both tasks (np.unique absorbs
+        # it). Postings themselves still never shuffle.
+        route_of_file = {
+            p: rkeys[i] for i, b in enumerate(bins) for p in b
+        }
+        intervals = []
+        for _sz, p in files:
+            lo, hi = _file_shard_range(p)
+            intervals.append((lo, hi, route_of_file[p]))
+        idf_ = F.broadcast(_local_df(
+            spark, intervals, "lo long, hi long, route_key long",
+            ["lo", "hi", "route_key"],
+        ))
+        union_ddl = ("route_key long, paths array<string>, term string, "
+                     "shard long, n int, docids_bin binary")
+        union_cols = ["route_key", "paths", "term", "shard", "n",
+                      "docids_bin"]
+        parts = [_local_df(
+            spark,
+            [(rkeys[i], b, None, None, None, None)
+             for i, b in enumerate(bins)],
+            union_ddl, union_cols,
+        )]
+
+        def routed(side: DataFrame) -> DataFrame:
+            return (
+                side.join(
+                    idf_,
+                    (F.col("shard") >= F.col("lo"))
+                    & (F.col("shard") <= F.col("hi")),
+                )
+                .select(
+                    "route_key",
+                    F.lit(None).cast("array<string>").alias("paths"),
+                    "term", "shard", "n", "docids_bin",
+                )
+            )
+
+        if has_filter:
+            parts.append(routed(
+                _sideband_rows(docid_filter, shard_range, ALLOW_TERM)
+            ))
+        if has_bounds:
+            parts.append(routed(
+                _sideband_rows(collapse_bounds, shard_range, BOUNDS_TERM)
+            ))
+            parts.append(routed(
+                _carry_bounds_rows(spark, collapse_bounds, shard_range,
+                                   n_docs)
+            ))
+        seg = parts[0]
+        for p_ in parts[1:]:
+            seg = seg.unionByName(p_)
+        partials = seg.repartition(len(bins), "route_key").mapInArrow(
+            _make_file_score_fn(qplans, avgdl, threshold, hit_terms,
+                                has_filter=has_filter,
+                                has_bounds=has_bounds),
             "query_id long, docid long, score double",
         )
         return partials, qplans
