@@ -302,12 +302,74 @@ def test_neardup_clusters(spark):
 def test_neardup_clusters_nonconvergence_raises(spark):
     from visionsearch_spark.operators.dedup import neardup_clusters
 
-    # a 6-chain has diameter 5: max_iter=2 must fail loudly, not return
-    # partial labels
+    # a 6-chain has diameter 5: algorithm="label" with max_iter=2 must
+    # fail loudly, not return partial labels
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_clusters(pairs, max_iter=2)
+        neardup_clusters(pairs, max_iter=2, algorithm="label")
+
+
+def _uf_oracle(edges):
+    """Driver-side union-find: cluster = min node id per component."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_components_random_graphs_match_label_prop(spark):
+    """Property: the star alternation labels every random graph
+    identically to min-label propagation AND to a driver union-find
+    oracle — including duplicate edges, self-referential orderings, and
+    multi-component shapes."""
+    import random
+
+    from visionsearch_spark.operators.dedup import neardup_clusters
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        edges = [(rng.randrange(n) + 100, rng.randrange(n) + 100)
+                 for _ in range(rng.randint(3, 2 * n))]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        exp = _uf_oracle(edges)
+        star = {r["doc_id"]: r["cluster_id"] for r in
+                neardup_clusters(pairs, algorithm="star").collect()}
+        lab = {r["doc_id"]: r["cluster_id"] for r in
+               neardup_clusters(pairs, algorithm="label").collect()}
+        assert star == exp == lab, trial
+
+
+def test_star_components_long_chain_and_auto_fallback(spark):
+    """A 10k-node path (diameter 9 999) converges in O(log^2 n) star
+    rounds — label propagation would need ~10k. algorithm='auto' with a
+    tiny round budget must fall back to the star result instead of
+    raising."""
+    from visionsearch_spark.operators.dedup import neardup_clusters
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    star = neardup_clusters(pairs, algorithm="star")
+    assert star.filter(F.col("cluster_id") != 0).count() == 0
+    assert star.count() == n
+    # auto: 2 propagation rounds cannot close the chain -> star fallback
+    auto = neardup_clusters(pairs, max_iter=2, algorithm="auto")
+    assert auto.filter(F.col("cluster_id") != 0).count() == 0
+    assert auto.count() == n
 
 
 def test_dedup_corpus_end_to_end(spark):

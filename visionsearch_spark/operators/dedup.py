@@ -316,8 +316,88 @@ def _verify_jaccard(cands: DataFrame, sids: DataFrame, tau: float) -> DataFrame:
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
+def _star_components(edges: DataFrame, max_rounds: int = 50,
                      unpersist_handle: list | None = None) -> DataFrame:
+    # unpersist_handle accepted for signature symmetry with the label
+    # path; checkpointed blocks are GC-cleaned, nothing to release.
+    """Connected components by LARGE-STAR / SMALL-STAR alternation (the
+    CC-on-MapReduce pattern: Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — public algorithm), converging in O(log^2 n)
+    rounds on ANY graph, including the adversarial long chains where
+    min-label propagation needs O(diameter) rounds.
+
+      large-star: every node u links each LARGER neighbor to
+                  m(u) = min(Γ(u) ∪ {u})   — hangs big nodes off minima
+      small-star: orient edges larger-first; every node u links each
+                  smaller-or-equal neighbor AND itself to m(u)
+                  — flattens local stars
+
+    Each half-round is one groupBy-min + one join over the edge frame
+    (partial-aggregated, no driver materialization); convergence is
+    edge-set stability (counts equal + one exceptAll). Per-round frames
+    are localCheckpoint'ed, not merely persisted: an iterative frame's
+    LOGICAL plan grows multiplicatively per round even when the data is
+    cached, and at tens of rounds the plan tree alone OOMs the driver
+    (AQE renders an explain string per action) — checkpointing truncates
+    the lineage to the materialized blocks. After convergence edges form
+    stars (v, root) with root = the component min, so labels fall out
+    directly. Returns (node, lbl) for every node of every input edge."""
+    e = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"),
+                F.least("a", "b").alias("b"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    if n_e == 0:
+        return edges.sparkSession.createDataFrame([], "node long, lbl long")
+    for _ in range(max_rounds):
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a").agg(F.min("b").alias("mn"))
+            .select("a", F.least("mn", F.col("a")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # after large-star every edge has a > b; small-star needs no
+        # re-orientation
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select("a", F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_small = small.count()
+        stable = n_small == n_e and small.exceptAll(e).count() == 0
+        e, n_e = small, n_small
+        if stable:
+            # final stars: every non-root appears as `a` exactly once
+            # with its root as `b`; roots appear only as `b`
+            return e.select(F.col("a").alias("node"),
+                            F.col("b").alias("lbl")).unionByName(
+                e.select(F.col("b").alias("node"),
+                         F.col("b").alias("lbl")).distinct()
+            )
+    raise RuntimeError(
+        f"_star_components did not converge in {max_rounds} "
+        "rounds (theoretical bound exceeded — wiring bug)"
+    )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
+                     unpersist_handle: list | None = None,
+                     algorithm: str = "auto") -> DataFrame:
     """Connected components over near-dup PAIRS — the step a dedup
     pipeline actually consumes: pairs only say "a ~ b"; keep-one-per-
     group needs the transitive closure. Returns (doc_id, cluster_id)
@@ -335,16 +415,37 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
     materialization of edges. Convergence is detected with a changed-
     label COUNT per round (one scalar to the driver); per-round persists
     truncate the iterative lineage (Spark re-executes unpersisted
-    branches per action). For adversarial long-chain graphs at 10^12
-    edges, swap in the large-star/small-star alternation (CC-on-
-    MapReduce pattern) — same join shapes, fewer rounds."""
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    branches per action).
+
+    algorithm:
+      "label" — min-label propagation only; raises past max_iter.
+      "star"  — large-star/small-star alternation (_star_components):
+                O(log^2 n) rounds on ANY graph shape; a few more Spark
+                jobs per round, so propagation stays the default for
+                the diameter-2-4 graphs near-dup pipelines produce.
+      "auto"  (default) — propagation first; if a pathological chain
+                exhausts max_iter, fall back to the star alternation
+                instead of raising (label identity pinned by property
+                test)."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    if algorithm == "star":
+        return _star_components(
+            raw, unpersist_handle=unpersist_handle
+        ).select(F.col("node").alias("doc_id"),
+                 F.col("lbl").alias("cluster_id"))
+    edges = raw.unionByName(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
+    # per-round frames are localCheckpoint'ed (not persisted): the
+    # iterative lineage grows ~3x per round even with the DATA cached,
+    # and past ~20 rounds the logical-plan tree alone OOMs the driver's
+    # explain rendering — checkpointing truncates the plan at the
+    # materialized blocks (r5 fix, found by the long-chain fallback test)
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
-        .withColumn("lbl", F.col("node")).persist()
+        .withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     )
     converged = False
     try:
@@ -366,35 +467,42 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
                     F.least(F.col("lbl"),
                             F.coalesce("minn", F.col("lbl"))).alias("lbl"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new.join(labels.select("node",
                                        F.col("lbl").alias("_old")), "node")
                 .filter(F.col("lbl") != F.col("_old")).count()
             )
-            labels.unpersist()
             labels = new
             if changed == 0:
                 converged = True
                 break
         if not converged:
+            if algorithm == "auto":
+                # adversarial-chain fallback: the round budget bounds
+                # what propagation may spend; the star alternation then
+                # finishes ANY graph in O(log^2 n) rounds (finally
+                # releases the propagation caches)
+                return _star_components(
+                    raw, unpersist_handle=unpersist_handle
+                ).select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
             raise RuntimeError(
                 f"neardup_clusters did not converge in {max_iter} rounds "
                 "(component diameter > max_iter — raise max_iter or use "
-                "the star-alternation variant)"
+                "algorithm='star')"
             )
-        # the result rides the final round's persisted labels frame —
-        # pass unpersist_handle (dense_ids convention) to release it
-        # after materializing; without it the cache lives until GC
+        # since r5 the result rides a localCheckpoint'ed frame whose
+        # blocks the ContextCleaner releases on GC — unpersist_handle is
+        # kept for API compatibility (appended frames' unpersist() is a
+        # harmless no-op on checkpoint-backed data)
         if unpersist_handle is not None:
             unpersist_handle.append(labels)
         return labels.select(F.col("node").alias("doc_id"),
                              F.col("lbl").alias("cluster_id"))
     finally:
         edges.unpersist()
-        if not converged:  # error path must not leak the cached labels
-            labels.unpersist()
 
 
 def dedup_corpus(docs: DataFrame, n: int = 3, tau: float = 0.5,
