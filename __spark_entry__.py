@@ -260,6 +260,17 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, tau=0.6)
 
 
+def _dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/neardup_stream (r5): HASHED-shingle
+    minhash (no dictionary — one stateless JVM expression per row) with
+    the signature-match estimate. The streaming operator's chunked
+    replay accumulates exactly this frame (tests/test_neardup_stream)."""
+    from visionsearch_spark.operators.dedup import minhash_pairs_hashed
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return minhash_pairs_hashed(docs, n=3, min_match=4)
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visionsearch_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -713,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "groupby_event_type": _groupby_event_type,
             "cosine_topk": _cosine_topk,
             "dedup_minhash_lsh": _dedup_minhash_lsh,
+            "dedup_minhash_stream": _dedup_minhash_stream,
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
             "cross_contamination": _cross_contamination,
             "dedup_clusters": _dedup_clusters,
@@ -871,6 +883,61 @@ sig AS (SELECT id, {hash_mins} FROM sids GROUP BY id),
 cands AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
 """ + _jaccard_tail(tau)
     )
+
+
+def _minhash_hashed_oracle(n: int, min_match: int) -> str:
+    """Twin of dedup.minhash_pairs_hashed: shingle ids come from
+    md5_number_lower(shingle) %% p — the established cross-engine hash
+    (== Spark's little-endian conv of the low md5 hex, CLAUDE.md r4) —
+    so no dictionary CTE; n_match counts agreeing signature
+    components."""
+    from visionsearch_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_HASHES,
+    )
+
+    toks = duckdb_tokens("text")
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    hash_mins = ", ".join(
+        f"min(({MINHASH_A[i]}::BIGINT * sid + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    rpb = N_HASHES // N_BANDS
+    band_joins = " UNION ".join(
+        "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON "
+        + " AND ".join(f"a.h{i} = b.h{i}"
+                       for i in range(b * rpb, (b + 1) * rpb))
+        + " WHERE a.id < b.id"
+        for b in range(N_BANDS)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {toks} AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, unnest(
+    CASE WHEN len(tk) >= {n}
+         THEN list_transform(generate_series(1, len(tk)-{n - 1}),
+                             i -> {grams})
+         ELSE [] END) AS shingle
+  FROM toks
+),
+sids AS (
+  SELECT id, (md5_number_lower(shingle) % {MINHASH_PRIME})::BIGINT AS sid
+  FROM sh
+),
+sig AS (SELECT id, {hash_mins} FROM sids GROUP BY id),
+cands AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
+pairs AS (
+  SELECT c.id_a, c.id_b, ({n_match})::INT AS n_match
+  FROM cands c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+)
+SELECT id_a, id_b, n_match FROM pairs WHERE n_match >= {min_match}
+"""
 
 
 def _ngram_jaccard_oracle(n: int, tau: float, max_shingle_df: int) -> str:
@@ -1450,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY scored.cos DESC, vec_id ASC LIMIT 20
     """
     sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
+    sql["dedup_minhash_stream"] = _minhash_hashed_oracle(n=3, min_match=4)
     sql["cross_contamination"] = _cross_contamination_oracle(n=3, tau=0.5)
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)

@@ -124,6 +124,89 @@ def _band_candidates(sig: DataFrame, cross_side: bool = False) -> DataFrame:
     return cands.distinct()
 
 
+def _shingle_hash(s) -> "F.Column":
+    """shingle string -> [0, MINHASH_PRIME), JVM-side: low 8 bytes of
+    md5 read LITTLE-endian, mod p — byte-identical to
+    embedding.token_hash and DuckDB's `md5_number_lower(s) %% p`
+    (the proven r4 cross-engine hash). Little-endian = the hex pairs of
+    chars 31..17 reversed; conv() reads them as an unsigned 64-bit,
+    decimal(20,0) holds the full range."""
+    hx = F.md5(s)
+    le = F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(8)])
+    return (F.conv(le, 16, 10).cast("decimal(20,0)")
+            % F.lit(MINHASH_PRIME)).cast("long")
+
+
+def minhash_signatures_hashed(docs: DataFrame, n: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(id, h0..h{N-1}) minhash signatures over DIRECTLY-HASHED shingle
+    ids — no global dictionary, so the whole signature is one JVM
+    expression per row (array transform + array_min): ZERO shuffle, and
+    legal on a STREAMING frame (stateless row-local compute). The
+    dictionary-encoded `minhash_signatures` ranks shingles
+    lexicographically and therefore permutes differently; the two
+    families produce slightly different band collisions and must not be
+    mixed within one index. Docs with fewer than n tokens have no
+    shingles -> NULL signature (callers filter; they can near-dup-match
+    nothing)."""
+    toks = tokens_col(text_col)
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    sid = F.transform(sh, _shingle_hash)
+
+    def affine(i):
+        # factory, not a default-arg lambda: F.transform passes (value,
+        # index) to two-parameter lambdas, which would bind the index
+        # Column over a `i=i` default
+        return lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) \
+            % F.lit(MINHASH_PRIME)
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        *[F.array_min(F.transform(sid, affine(i))).alias(f"h{i}")
+          for i in range(N_HASHES)],
+    )
+
+
+def minhash_pairs_hashed(docs: DataFrame, n: int = 3, min_match: int = 4,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Banded-LSH near-dup pairs over HASHED signatures with the
+    SIGNATURE-based similarity estimate: n_match = #agreeing hash
+    components (n_match/N_HASHES estimates Jaccard). The batch twin and
+    oracle of streaming/neardup_stream.neardup_stream — same shingle
+    hash, same bands, same estimate, so a chunked replay through the
+    stream accumulates exactly this frame (pair set is order-free).
+    Unlike minhash_lsh_pairs there is no shingle-set verification step:
+    state that must verify against raw shingle sets cannot be O(sig)
+    per doc, and the estimate is the standard streaming trade. Compose
+    AFTER exact dedup (dedup_stream / exact_dedup): byte-identical
+    texts band-agree everywhere and would pair quadratically."""
+    sig = minhash_signatures_hashed(docs, n, text_col, id_col) \
+        .filter(F.col("h0").isNotNull())
+    cands = _band_candidates(sig)
+    a = sig.select(F.col("id").alias("id_a"),
+                   *[F.col(f"h{i}").alias(f"ha{i}")
+                     for i in range(N_HASHES)])
+    b = sig.select(F.col("id").alias("id_b"),
+                   *[F.col(f"h{i}").alias(f"hb{i}")
+                     for i in range(N_HASHES)])
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", matches.cast("int").alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+    )
+
+
 def _exact_clusters(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, rep) membership map of byte-identical-text clusters:
     rep = min id per sha2(text, 256) group (exact_dedup's keying)."""
