@@ -639,3 +639,72 @@ def test_direct_compact_after_full_spimi_crash_refreshes_stats(
             (e[1], e[2]) for e in exp], q
         for g, e in zip(got, exp):
             assert math.isclose(g["score"], e[3], rel_tol=1e-9)
+
+
+def test_fast_path_holds_at_many_live_dirs(spark, transcripts_pdf,
+                                           tmp_path_factory):
+    """LSM growth hardening (r5): with ~10 live segment dirs the
+    file-aligned fast path must (a) still never scan segments through
+    Spark, and (b) stay result-identical to the forced-shuffle plan for
+    plain AND sideband queries — straddling dir-boundary shards
+    included. Then one more append with a tight file budget must
+    trigger the file-count compaction arm."""
+    import os
+
+    from visionsearch_spark.query.wand import _segment_files, batch_topk
+
+    root = str(tmp_path_factory.mktemp("idx_manydirs"))
+    convs = sorted(transcripts_pdf["conv_id"].unique())[:48]
+    pdf = transcripts_pdf[transcripts_pdf["conv_id"].isin(convs)]
+    # founding build + 10 appends of 4 convs each, compaction disabled
+    for i in range(11):
+        chunk = pdf[pdf["conv_id"].isin(convs[: 4 * (i + 1)])]
+        tx = spark.createDataFrame(chunk, schema=TRANSCRIPTS_SCHEMA)
+        store = incremental_build(tx, root, n_partitions=4,
+                                  max_live_dirs=100, max_live_files=10**6,
+                                  n_shards=8)
+    meta = store.read_meta()
+    assert len(meta["segment_dirs"]) >= 10, meta["segment_dirs"]
+
+    docmap = spark.read.parquet(store.docmap_path)
+    allow = docmap.filter(F.col("docid") % 3 != 1).select("docid")
+    queries = [(0, "join filter stream", 7), (1, "vector", 4)]
+    for kw in ({}, {"docid_filter": allow}):
+        fast = batch_topk(spark, store, queries, **kw) \
+            .orderBy("query_id", "rank")
+        fast_rows = fast.collect()
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert not any(d in plan for d in store.segment_paths()), kw
+        os.environ["VSS_QUERY_FORCE_SHUFFLE"] = "1"
+        try:
+            slow = batch_topk(spark, store, queries, **kw) \
+                .orderBy("query_id", "rank").collect()
+        finally:
+            os.environ.pop("VSS_QUERY_FORCE_SHUFFLE", None)
+        assert [tuple(r) for r in fast_rows] == [tuple(r) for r in slow], kw
+    assert len(fast_rows) > 0
+
+    # file-count compaction arm: next append (4 genuinely new convs —
+    # a no-op delta early-returns before the policy) exceeds
+    # max_live_files
+    n_files = len(_segment_files(store))
+    assert n_files >= 40  # 11 dirs x 4 partitions (minus small dirs)
+    chunk = pdf  # all 48 convs, 4 of them new
+    tx = spark.createDataFrame(chunk, schema=TRANSCRIPTS_SCHEMA)
+    store = incremental_build(tx, root, n_partitions=4,
+                              max_live_dirs=100, max_live_files=16,
+                              n_shards=8)
+    meta = store.read_meta()
+    assert len(meta["segment_dirs"]) == 1, meta["segment_dirs"]
+    assert len(_segment_files(store)) <= 4
+    # post-compaction correctness: fast == forced-shuffle on the new
+    # (4-convs-larger) corpus
+    got = batch_topk(spark, store, queries).orderBy(
+        "query_id", "rank").collect()
+    os.environ["VSS_QUERY_FORCE_SHUFFLE"] = "1"
+    try:
+        slow = batch_topk(spark, store, queries).orderBy(
+            "query_id", "rank").collect()
+    finally:
+        os.environ.pop("VSS_QUERY_FORCE_SHUFFLE", None)
+    assert [tuple(r) for r in got] == [tuple(r) for r in slow]

@@ -392,3 +392,35 @@ def test_training_sample_bounded_by_default(spark, emb):
                                       nprobe=4).collect()}
             recalls.append(len(exact & approx) / 20.0)
         assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_ivfpq_trained_recall_on_driver_fixtures(spark, sf_dir,
+                                                 tmp_path_factory):
+    """Contract-adjacent gate (r5): the TRAINED quantizer (k-means
+    coarse + trained codebooks — the path the value oracle cannot
+    replay, its contract row pins only degenerate-exact) must clear a
+    recall floor on the DRIVER's own embedding fixtures at both sf
+    dirs, so a quantizer regression cannot hide behind the
+    degenerate-exact row."""
+    from visionsearch_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk_ivfpq,
+    )
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    root = str(tmp_path_factory.mktemp("ivfpq_fixture"))
+    build_ivfpq_index(emb, root, n_centroids=16, m=8)
+    recalls = []
+    for qid in (0, 7, 13, 42):
+        qvec = list(emb.filter(F.col("vec_id") == qid)
+                    .select("embedding").limit(1).collect()[0][0])
+        exact = {r["vec_id"] for r in
+                 cosine_topk_to_query(emb, qvec, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  cosine_topk_ivfpq(emb, root, qvec, k=10,
+                                    nprobe=8, rerank=40).collect()}
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.6, (sf_dir, recalls)

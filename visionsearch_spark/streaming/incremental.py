@@ -57,6 +57,7 @@ def pending_rows(transcripts: DataFrame, store: IndexStore) -> DataFrame:
 def incremental_build(transcripts: DataFrame, root: str,
                       n_partitions: int | None = None,
                       max_live_dirs: int = 8,
+                      max_live_files: int = 512,
                       n_shards: int | None = None) -> IndexStore:
     """Index only rows absent from the docmap, appending to the store.
 
@@ -80,9 +81,15 @@ def incremental_build(transcripts: DataFrame, root: str,
     meta — and committed pids are skipped via their manifests.
 
     Appends are O(delta) and each adds one live segments dir; when the
-    live set exceeds max_live_dirs a full compact_store() runs inline
-    (the LSM merge policy — steady-state scan locality stays bounded
-    regardless of how many micro-batches streamed in).
+    live set exceeds max_live_dirs, OR the total segment FILE count
+    exceeds max_live_files, a full compact_store() runs inline (the LSM
+    merge policy — steady-state scan locality stays bounded regardless
+    of how many micro-batches streamed in). The file-count arm exists
+    because the query fast path assigns whole FILES to tasks: file
+    count = Σ live dirs × that build's n_partitions, so a store built
+    wide (large n_partitions) fragments into fine-grained LPT bins well
+    before the dir-count arm fires, and per-file fixed costs (footer
+    read, scanner open) start to dominate small queries.
     """
     from visionsearch_spark.index.spimi import build_index
 
@@ -169,7 +176,18 @@ def incremental_build(transcripts: DataFrame, root: str,
         spark, store, meta, n_partitions,
         delta_stats=None if needs_repair else delta_stats,
     )
-    if len(store.read_meta().get("segment_dirs") or []) > max_live_dirs:
+    n_dirs = len(store.read_meta().get("segment_dirs") or [])
+    if n_dirs > max_live_dirs:
+        needs_compact = True
+    elif n_dirs > 1:
+        # file-count arm: O(n_files) driver listing, only consulted on
+        # multi-dir stores (a single dir is already fully compacted)
+        from visionsearch_spark.query.wand import _segment_files
+
+        needs_compact = len(_segment_files(store)) > max_live_files
+    else:
+        needs_compact = False
+    if needs_compact:
         from visionsearch_spark.index.spimi import compact_store
 
         store = compact_store(spark, store.root, n_partitions)
