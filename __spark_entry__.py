@@ -293,6 +293,35 @@ def _cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_contamination(docs, bench, n=3, tau=0.5)
 
 
+def _ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram overlap decontamination (GPT-3/C4-style rule, r5):
+    corpus docs sharing any verbatim 5-gram with the stand-in benchmark
+    (deterministic 10% sample), with the count of shared distinct
+    n-grams. DuckDB twin joins on the raw shingle string; Spark joins
+    on its md5 hex — identical absent an md5 collision."""
+    from visionsearch_spark.operators.dedup import (
+        ngram_overlap_contamination,
+    )
+    from visionsearch_spark.operators.textstats import deterministic_sample
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    bench = deterministic_sample(docs, rate=0.1)
+    return ngram_overlap_contamination(docs, bench, n=5,
+                                       max_shingle_df=1000)
+
+
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-targeted selection (r5): the operator that
+    APPLIES mixture_weights — per-source modular-hash Bernoulli at
+    rate min(1, base_rate·weight). base_rate=0.05 exercises partial
+    rates on every targeted source (clipping none)."""
+    from visionsearch_spark.operators.textstats import mixture_sample
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return mixture_sample(docs, MIXTURE_TARGETS, base_rate=0.05) \
+        .select("doc_id", "source")
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs: the
     transitive-closure step a keep-one-per-group dedup actually
@@ -727,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_stream": _dedup_minhash_stream,
             "dedup_ngram_jaccard": _dedup_ngram_jaccard,
             "cross_contamination": _cross_contamination,
+            "ngram_decontaminate": _ngram_decontaminate,
+            "mixture_sample": _mixture_sample,
             "dedup_clusters": _dedup_clusters,
             "dedup_corpus": _dedup_corpus,
             "simhash64": _simhash64,
@@ -883,6 +914,44 @@ sig AS (SELECT id, {hash_mins} FROM sids GROUP BY id),
 cands AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
 """ + _jaccard_tail(tau)
     )
+
+
+def _ngram_overlap_oracle(n: int, max_shingle_df: int,
+                          bench_rate: float) -> str:
+    """Twin of dedup.ngram_overlap_contamination with the deterministic
+    sample as benchmark: join on the raw shingle STRING (Spark joins
+    md5 hex of the same string — identical absent an md5 collision);
+    the df cap counts BENCHMARK-side docs only."""
+    from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
+
+    toks = duckdb_tokens("text")
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {toks} AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, unnest(
+    CASE WHEN len(tk) >= {n}
+         THEN list_transform(generate_series(1, len(tk)-{n - 1}),
+                             i -> {grams})
+         ELSE [] END) AS shingle
+  FROM toks
+),
+bench AS (
+  SELECT doc_id FROM documents
+  WHERE ({FP_MULT}::BIGINT * doc_id + 12345) % {FP_PRIME}
+        < {int(FP_PRIME * bench_rate)}
+),
+bsh AS (SELECT sh.id, sh.shingle FROM sh JOIN bench ON sh.id = bench.doc_id),
+bkeys AS (
+  SELECT shingle FROM bsh GROUP BY shingle
+  HAVING count(*) <= {max_shingle_df}
+)
+SELECT c.id AS corpus_id, count(*)::BIGINT AS n_shared
+FROM sh c JOIN bkeys USING(shingle)
+GROUP BY c.id
+"""
 
 
 def _minhash_hashed_oracle(n: int, min_match: int) -> str:
@@ -1519,6 +1588,8 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_lsh"] = _minhash_oracle(n=3, tau=0.6)
     sql["dedup_minhash_stream"] = _minhash_hashed_oracle(n=3, min_match=4)
     sql["cross_contamination"] = _cross_contamination_oracle(n=3, tau=0.5)
+    sql["ngram_decontaminate"] = _ngram_overlap_oracle(
+        n=5, max_shingle_df=1000, bench_rate=0.1)
     sql["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(n=5, tau=0.6,
                                                        max_shingle_df=1000)
     # connected components over the minhash pairs: ONE closure SQL
@@ -1661,6 +1732,37 @@ SELECT source, n_docs, n_tokens, token_share,
             THEN round((CASE {tgt_cases} ELSE 0.0 END) / token_share, 6)
             ELSE NULL END AS weight
 FROM m
+"""
+    # mixture_sample: the SAME weight pipeline, then the portable
+    # modular-hash Bernoulli at rate min(1, base_rate*weight).
+    # Multiplication ORDER matches textstats.mixture_sample exactly
+    # (min first, prime last, floor = python int() on positives).
+    from visionsearch_spark.operators.textstats import FP_MULT as _FPM
+    from visionsearch_spark.operators.textstats import FP_PRIME as _FPP
+    sql["mixture_sample"] = f"""
+WITH d AS (SELECT source, len({toks}) AS n FROM documents),
+a AS (
+  SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+  FROM d GROUP BY source
+),
+m AS (
+  SELECT source, n_tokens,
+         round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM a), 6)
+           AS token_share
+  FROM a
+),
+w AS (
+  SELECT source,
+         CASE WHEN token_share > 0
+              THEN round((CASE {tgt_cases} ELSE 0.0 END) / token_share, 6)
+              ELSE NULL END AS weight
+  FROM m
+)
+SELECT doc.doc_id, doc.source
+FROM documents doc JOIN w USING(source)
+WHERE ({_FPM}::BIGINT * doc.doc_id + 12345) % {_FPP} <
+      CASE WHEN w.weight IS NULL THEN 0
+           ELSE floor({_FPP} * least(1.0, 0.05 * w.weight))::BIGINT END
 """
     from visionsearch_spark.operators.textstats import FP_MULT, FP_PRIME
     sql["deterministic_sample"] = f"""

@@ -389,3 +389,51 @@ def test_dedup_corpus_end_to_end(spark):
     # component {0,1,5,8} (near-dups + exact dups) -> keep 0;
     # component {2,3} -> keep 2; 4, 6, 7 untouched
     assert kept == [0, 2, 4, 6, 7]
+
+
+def test_ngram_overlap_contamination_matches_bruteforce(spark):
+    """Exact n-gram decontamination vs a python brute force, including
+    the benchmark-side Zipf cap and the no-pair-blowup output shape."""
+    from visionsearch_spark.operators.dedup import (
+        ngram_overlap_contamination,
+    )
+
+    corpus = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "unrelated words only here nothing shared at all"),
+        (3, "alpha beta gamma delta epsilon other ending"),
+    ]
+    bench = [
+        (100, "intro text alpha beta gamma delta epsilon outro"),
+        (101, "quick brown fox jumps over something"),
+    ]
+    n = 4
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r["corpus_id"]: r["n_shared"] for r in
+           ngram_overlap_contamination(cdf, bdf, n=n).collect()}
+
+    def grams(t):
+        tk = tokenize(t)
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    bgrams = set()
+    for _i, t in bench:
+        bgrams |= grams(t)
+    exp = {}
+    for i, t in corpus:
+        hits = len(grams(t) & bgrams)
+        if hits:
+            exp[i] = hits
+    assert got == exp
+    # Zipf cap: a shingle in >max_shingle_df benchmark docs is ignored
+    many = [(200 + j, "alpha beta gamma delta") for j in range(3)]
+    bdf2 = spark.createDataFrame(bench + many, "doc_id long, text string")
+    capped = {r["corpus_id"]: r["n_shared"] for r in
+              ngram_overlap_contamination(cdf, bdf2, n=4,
+                                          max_shingle_df=2).collect()}
+    # "alpha beta gamma delta" now appears in 4 benchmark docs > cap 2:
+    # docs 0 and 3 lose exactly that one shared 4-gram
+    assert capped.get(0, 0) == exp[0] - 1
+    assert capped.get(3, 0) == exp.get(3, 0) - 1

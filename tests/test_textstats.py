@@ -291,3 +291,47 @@ def test_mixture_weights(spark):
     assert got["web"]["weight"] == pytest.approx(1.0)
     assert got["code"]["weight"] == pytest.approx(2.0)
     assert got["books"]["weight"] == 0.0
+
+
+def test_mixture_sample_applies_weighted_rates(spark):
+    """mixture_sample = mixture_weights applied as per-source
+    modular-hash Bernoulli: selected rows are exactly the hash-threshold
+    set at rate min(1, base_rate*weight); untargeted sources keep
+    nothing; determinism across partitionings."""
+    from visionsearch_spark.operators.textstats import (
+        FP_MULT,
+        FP_PRIME,
+        mixture_sample,
+        mixture_weights,
+    )
+
+    rows = [(i, f"src{i % 4}", " ".join(["w"] * (5 + i % 7)))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    targets = {"src0": 0.7, "src1": 0.3}
+    base = 0.4
+    got = {r["doc_id"] for r in
+           mixture_sample(docs, targets, base_rate=base).collect()}
+    w = {r["source"]: r["weight"]
+         for r in mixture_weights(docs, targets).collect()}
+    exp = set()
+    for did, src, _t in rows:
+        thr = int(FP_PRIME * min(1.0, base * w[src]))
+        if (FP_MULT * did + 12345) % FP_PRIME < thr:
+            exp.add(did)
+    assert got == exp
+    assert not any(src in ("src2", "src3")
+                   for r in mixture_sample(docs, targets,
+                                           base_rate=base).collect()
+                   for src in [r["source"]])
+    # repartitioned input selects the SAME rows
+    got2 = {r["doc_id"] for r in
+            mixture_sample(docs.repartition(13), targets,
+                           base_rate=base).collect()}
+    assert got2 == got
+    # absent target still fails loudly (inherited from mixture_weights)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent from the corpus"):
+        mixture_sample(docs, {"nope": 1.0})

@@ -346,6 +346,42 @@ def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def ngram_overlap_contamination(corpus: DataFrame, benchmark: DataFrame,
+                                n: int = 7, max_shingle_df: int = 1000,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-gram overlap decontamination — the GPT-3/C4-style rule
+    ("drop a training doc if any of its token n-grams appears verbatim
+    in an eval doc"), the stricter sibling of the Jaccard-based
+    cross_contamination: one shared long n-gram is contamination even
+    when whole-document similarity is low (e.g. an eval question quoted
+    inside a long page). Returns (corpus_id, n_shared) — every
+    contaminated corpus doc with its count of distinct shared n-grams.
+
+    Plan: distinct n-gram shingles per side; the JOIN KEY is the
+    md5 HEX of the shingle (128-bit — the 31-bit arithmetic hash would
+    birthday-collide at corpus scale and silently over-drop), so the
+    shuffle carries 32-byte keys instead of full n-gram strings; the
+    output agg is per corpus doc, never a pair blow-up. Benchmark
+    tables are small ⇒ AQE broadcasts that side. max_shingle_df caps
+    Zipf-head n-grams on the BENCHMARK side (a boilerplate n-gram
+    appearing in >df benchmark docs flags half the corpus and means the
+    benchmark, not the corpus, has boilerplate — same rationale as
+    ngram_jaccard_pairs' cap)."""
+    csh = shingles(corpus, n, text_col, id_col) \
+        .select(F.col("id").alias("corpus_id"),
+                F.md5("shingle").alias("k"))
+    bsh = shingles(benchmark, n, text_col, id_col) \
+        .select("id", F.md5("shingle").alias("k"))
+    bkeys = bsh.groupBy("k").agg(F.count(F.lit(1)).alias("_df")) \
+        .filter(F.col("_df") <= max_shingle_df).select("k")
+    return (
+        csh.join(bkeys, "k")
+        .groupBy("corpus_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_shingle_df: int | None = 1000) -> DataFrame:

@@ -378,6 +378,45 @@ def mixture_weights(docs: DataFrame, targets: dict[str, float],
     )
 
 
+def mixture_sample(docs: DataFrame, targets: dict[str, float],
+                   base_rate: float = 0.5,
+                   text_col: str = "text", source_col: str = "source",
+                   id_col: str = "doc_id",
+                   mult: int = FP_MULT, offset: int = 12345,
+                   prime: int = FP_PRIME) -> DataFrame:
+    """APPLY a target token mixture as a deterministic per-source
+    sample — the step after mixture_weights in a real pipeline:
+    accounting (source_mixture) → weights (mixture_weights) → selection
+    (this). Each source keeps rows at
+
+        rate_s = min(1, base_rate · weight_s)
+
+    via the same portable modular-hash Bernoulli as
+    deterministic_sample, so the SAME rows are selected at every
+    scale-out and in every engine. base_rate is the global down-scale
+    (0.5 ≈ the target mixture at about half the corpus tokens);
+    oversampling (weight_s > 1/base_rate) clips at keep-everything —
+    single-epoch selection cannot repeat rows, a repetition factor is a
+    different operator. A zero-token source (weight NULL) keeps
+    nothing.
+
+    The per-source rates are computed from the (eager, bounded)
+    mixture_weights frame on the driver and ride the plan as ONE
+    literal CASE chain over a codegen'd predicate: prunes at the scan,
+    no shuffle, no join — the filter a 100 TB selection pass wants."""
+    wrows = mixture_weights(docs, targets, text_col, source_col).collect()
+    thresholds = {
+        r[source_col]: int(prime * min(1.0, base_rate * r["weight"]))
+        if r["weight"] is not None else 0
+        for r in wrows
+    }
+    thr = F.lit(0)
+    for src, t in sorted(thresholds.items()):
+        thr = F.when(F.col(source_col) == src, F.lit(t)).otherwise(thr)
+    h = (F.lit(mult) * F.col(id_col) + F.lit(offset)) % F.lit(prime)
+    return docs.filter(h < thr)
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint:
