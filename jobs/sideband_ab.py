@@ -65,7 +65,7 @@ def main() -> None:
     store = build_index(tx, root, n_partitions=args.cpus)
 
     docmap = spark.read.parquet(store.docmap_path)
-    # 10%% allow-list: a realistic metadata filter; a near-whole-corpus
+    # 10% allow-list: a realistic metadata filter; a near-whole-corpus
     # allow makes pack prep (identical on both plans) dominate and
     # buries the posting-shuffle delta under host noise
     allow = docmap.filter(F.col("docid") % 10 == 0).select("docid") \

@@ -139,3 +139,66 @@ def test_byte_histogram_null_payload_yields_null_features(spark):
     assert got[1] is None
     assert got[0] is not None and abs(sum(got[0]) - 1.0) < 1e-6
     assert got[2] is not None and got[2][3] == pytest.approx(1.0)
+
+
+def test_resize_images_nearest_neighbor_matches_numpy(spark, media):
+    """The resize math is REAL (only the decode is fake): output pixels
+    equal a numpy nearest-neighbor gather over the same fake decode;
+    null payloads give null pixels."""
+    from visionsearch_spark.operators.multimodal import (
+        decode_image_stub,
+        resize_images,
+    )
+
+    MEDIA_SCHEMA_NULLABLE = ("media_id long, mime string, "
+                             "payload binary, n_bytes long")
+
+    import pandas as pd
+
+    media_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, m, p, n) for i, m, p, n in
+             [*[tuple(r) for r in media.collect()], (9, "x", None, 0)]],
+            columns=["media_id", "mime", "payload", "n_bytes"],
+        ),
+        MEDIA_SCHEMA_NULLABLE,
+    )
+    got = {r["media_id"]: r for r in
+           resize_images(media_df, width=2, height=3).collect()}
+    rows = media_df.select("media_id", "payload").collect()
+    assert set(got) == {r["media_id"] for r in rows}
+    for r in rows:
+        out = got[r["media_id"]]
+        assert (out["height"], out["width"]) == (3, 2)
+        if r["payload"] is None:
+            assert out["pixels"] is None
+            continue
+        img = decode_image_stub(bytes(r["payload"]))
+        h0, w0, _ = img.shape
+        ys = np.minimum((np.arange(3) * h0) // 3, h0 - 1)
+        xs = np.minimum((np.arange(2) * w0) // 2, w0 - 1)
+        exp = img[np.ix_(ys, xs)].reshape(-1)
+        assert np.allclose(out["pixels"], exp)
+
+
+def test_partition_by_bytes_sizes_by_payload(spark):
+    """Byte-targeted partitioning: partition count tracks total payload
+    bytes / target, rows survive intact, and the plan reads only the
+    size column when metadata is present."""
+    from visionsearch_spark.operators.multimodal import partition_by_bytes
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, b"x" * (256 * 1024)) for i in range(40)]  # 10 MB total
+    df = spark.createDataFrame(rows, "media_id long, payload binary") \
+        .withColumn("n_bytes", F.length("payload"))
+    out = partition_by_bytes(df, target_mb=2.0)
+    assert out.rdd.getNumPartitions() == 5  # 10 MB / 2 MB
+    assert out.count() == 40
+    # without the metadata column it falls back to length(payload)
+    out2 = partition_by_bytes(df.drop("n_bytes"), target_mb=5.0)
+    assert out2.rdd.getNumPartitions() == 2
+    # empty frame -> 1 partition, no division by zero
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    assert partition_by_bytes(empty, target_mb=1.0) \
+        .rdd.getNumPartitions() == 1

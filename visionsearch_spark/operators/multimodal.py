@@ -148,6 +148,59 @@ def byte_histogram_features(media: DataFrame, n_bins: int = 64,
     return media.select("media_id", "payload").mapInPandas(kernel, out_ddl)
 
 
+def partition_by_bytes(media: DataFrame, target_mb: float = 64.0,
+                       payload_col: str = "payload",
+                       size_col: str | None = "n_bytes") -> DataFrame:
+    """The 'media rows are big' design rule as an operator: repartition
+    so each partition carries ~target_mb of payload BYTES (row-count
+    partitioning puts 10 4K-frames or 10 thumbnails in a task alike —
+    byte skew, OOM on the big side, idle on the small). One bounded agg
+    (a single sum to the driver) sizes the round-robin; sizes come from
+    the metadata column when present (parquet reads ONLY that column —
+    bytes untouched at plan time), else F.length(payload)."""
+    col = (F.col(size_col) if size_col and size_col in media.columns
+           else F.length(payload_col))
+    total = media.agg(F.sum(col).alias("b")).collect()[0]["b"] or 0
+    n_parts = max(1, -(-int(total) // int(target_mb * 1024 * 1024)))
+    return media.repartition(n_parts)
+
+
+def resize_images(media: DataFrame, width: int = 2, height: int = 2
+                  ) -> DataFrame:
+    """Image resize over binary payloads — decode is the marked STUB,
+    the RESIZE ITSELF is real (vectorized nearest-neighbor index math,
+    the same gather a PIL-backed kernel would do after Image.open).
+    Output: (media_id, height, width, pixels array<float>) with pixels
+    row-major RGBA-flattened — the shape contract a downstream
+    embedder's preprocessing consumes. Swapping in PIL later changes
+    only decode_image_stub."""
+    out_ddl = "media_id long, height int, width int, pixels array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pixels = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    pixels.append(None)
+                    continue
+                img = decode_image_stub(bytes(payload))  # (H, W, C)
+                h0, w0, _c = img.shape
+                # nearest-neighbor gather: real resize arithmetic
+                ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+                xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+                pixels.append(img[np.ix_(ys, xs)].reshape(-1).tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "height": height,
+                "width": width,
+                "pixels": pixels,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(kernel, out_ddl)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling PLUMBING: expands (media_id, n_frames) into
     (media_id, frame_idx) rows JVM-side; the actual frame grab is the
