@@ -772,25 +772,49 @@ def _partial_scores(
         # per-shard packs (never an unbounded driver materialization or
         # broadcast) and ride ONE small shuffle keyed by route_key to
         # the task owning the files whose shard range covers them. The
-        # shard→task map is a broadcast range join against per-file
-        # (shard_lo, shard_hi) intervals read from parquet footers —
-        # n_files rows of driver metadata. Equal route keys co-locate
+        # shard→task map is a STAB QUERY against per-file
+        # (shard_lo, shard_hi) intervals read from parquet footers:
+        # the sorted interval arrays (n_files entries — driver
+        # metadata) ship in a pandas_udf closure, each shard binary-
+        # searches them (prefix-max-hi early exit), and the matching
+        # route keys explode into rows. O(shards · log files), unlike
+        # the broadcast range join it replaced, whose nested-loop
+        # predicate was O(shards · files) — a real cost once a fleet-
+        # sized store holds 10^4+ files. Equal route keys co-locate
         # under ANY hash, so correctness (every gating row reaches its
         # blocks' task) never depends on the engineered-key balance.
-        # A dir-boundary shard straddling two files joins both
-        # intervals and is duplicated to both tasks (np.unique absorbs
-        # it). Postings themselves still never shuffle.
+        # A dir-boundary shard straddling several files (tiny appends
+        # can slice one shard across many dirs) routes to ALL their
+        # tasks (np.unique in the kernel absorbs duplicates).
+        # Postings themselves still never shuffle.
         route_of_file = {
             p: rkeys[i] for i, b in enumerate(bins) for p in b
         }
-        intervals = []
-        for _sz, p in files:
-            lo, hi = _file_shard_range(p)
-            intervals.append((lo, hi, route_of_file[p]))
-        idf_ = F.broadcast(_local_df(
-            spark, intervals, "lo long, hi long, route_key long",
-            ["lo", "hi", "route_key"],
-        ))
+        intervals = sorted(
+            (*_file_shard_range(p), route_of_file[p]) for _sz, p in files
+        )
+        _los = np.array([t[0] for t in intervals], dtype=np.int64)
+        _his = np.array([t[1] for t in intervals], dtype=np.int64)
+        _rks = np.array([t[2] for t in intervals], dtype=np.int64)
+        _pmax = np.maximum.accumulate(_his)
+
+        @F.pandas_udf("array<long>")
+        def _routes_of(shard: pd.Series) -> pd.Series:
+            s = shard.to_numpy(dtype=np.int64)
+            start = np.searchsorted(_los, s, side="right") - 1
+            out = []
+            for v, j in zip(s, start):
+                acc = set()
+                k = int(j)
+                # every interval at index <= j has lo <= v; stop once
+                # even the largest hi to the left cannot reach v
+                while k >= 0 and _pmax[k] >= v:
+                    if _his[k] >= v:
+                        acc.add(int(_rks[k]))
+                    k -= 1
+                out.append(sorted(acc))
+            return pd.Series(out)
+
         union_ddl = ("route_key long, paths array<string>, term string, "
                      "shard long, n int, docids_bin binary")
         union_cols = ["route_key", "paths", "term", "shard", "n",
@@ -803,17 +827,10 @@ def _partial_scores(
         )]
 
         def routed(side: DataFrame) -> DataFrame:
-            return (
-                side.join(
-                    idf_,
-                    (F.col("shard") >= F.col("lo"))
-                    & (F.col("shard") <= F.col("hi")),
-                )
-                .select(
-                    "route_key",
-                    F.lit(None).cast("array<string>").alias("paths"),
-                    "term", "shard", "n", "docids_bin",
-                )
+            return side.select(
+                F.explode(_routes_of(F.col("shard"))).alias("route_key"),
+                F.lit(None).cast("array<string>").alias("paths"),
+                "term", "shard", "n", "docids_bin",
             )
 
         if has_filter:
