@@ -58,6 +58,24 @@ def test_search_endpoint_matches_searcher(served):
             assert math.isclose(h["score"], s, rel_tol=1e-12)
 
 
+def test_search_endpoint_prefix_param(served):
+    """&prefix= composes the reference's S2 key-prefix filter with /search
+    at the API tier — parity with searcher.search(conv_prefix=...)."""
+    url, searcher, *_ = served
+    q, k, p = "join filter", 5, "conv-0000"
+    status, body = _get(
+        f"{url}/search?q={urllib.parse.quote(q)}&k={k}&prefix={p}")
+    assert status == 200
+    exp = searcher.search(q, k=k, conv_prefix=p)
+    assert [(h["docid"], h["conv_id"], h["turn_idx"]) for h in body["hits"]] \
+        == [(d, c, t) for d, c, t, _s in exp]
+    assert all(h["conv_id"].startswith(p) for h in body["hits"])
+    # no-match prefix -> empty hits, still 200
+    status, body = _get(
+        f"{url}/search?q={urllib.parse.quote(q)}&k={k}&prefix=zzz")
+    assert status == 200 and body["hits"] == []
+
+
 def test_healthz(served):
     url, searcher, *_ = served
     status, body = _get(f"{url}/healthz")

@@ -53,6 +53,40 @@ def test_oov_and_threshold(searcher, oracle_index):
     assert all(g[3] > thr for g in got)
 
 
+def test_prefix_filter_rank_identity(searcher, oracle_index, query_set):
+    """conv_prefix serves filter ∧ top-k with UNCHANGED global stats:
+    expected = exhaustive oracle ranking post-filtered by prefix, cut to
+    k — the mask must apply BEFORE the k-cut (a post-cut filter would
+    return < k hits even when k prefixed docs match)."""
+    prefixes = ["conv-0", "conv-00", "conv-000001"]
+    for row in query_set.itertuples(index=False):
+        full = oracle_search(oracle_index, row.query_text,
+                             k=searcher.n_docs)
+        for p in prefixes:
+            exp = [h for h in full if h[1].startswith(p)][:row.k]
+            got = searcher.search(row.query_text, k=row.k, conv_prefix=p)
+            assert [g[:3] for g in got] == [e[:3] for e in exp], (
+                row.query_text, p)
+            for g, e in zip(got, exp):
+                assert math.isclose(g[3], e[3], rel_tol=1e-9)
+
+
+def test_prefix_filter_edge_cases(searcher):
+    assert searcher.search("join filter", k=5, conv_prefix="zzz_nope") == []
+    # empty prefix matches everything == unfiltered
+    assert (searcher.search("join filter", k=5, conv_prefix="")
+            == searcher.search("join filter", k=5))
+
+
+def test_sharded_router_prefix_identity(serving_store, searcher, query_set):
+    router = ShardedSearcher(serving_store, n_groups=4)
+    for row in query_set.itertuples(index=False):
+        for p in ["conv-0", "conv-000002"]:
+            assert (router.search(row.query_text, k=row.k, conv_prefix=p)
+                    == searcher.search(row.query_text, k=row.k,
+                                       conv_prefix=p)), (row.query_text, p)
+
+
 def test_serving_latency_is_milliseconds(searcher):
     searcher.search("join filter", k=10)  # warm
     t0 = time.perf_counter()

@@ -215,16 +215,37 @@ class LocalSearcher:
             sel = np.lexsort((uniq, -sums))
         return uniq[sel], sums[sel]
 
+    def _prefix_mask(self, uniq: np.ndarray, conv_prefix: str
+                     ) -> np.ndarray:
+        """Boolean mask over matched docids whose conv_id starts with
+        the prefix — the reference's S2 key-prefix filter served
+        in-memory (filter ∧ top-k with UNCHANGED global stats, masked
+        BEFORE the k-cut, exactly like wand's allow sideband). The
+        conv gather is the same O(matches) indexing the collapse path
+        already performs."""
+        return np.fromiter(
+            (c.startswith(conv_prefix) for c in self._conv[uniq]),
+            dtype=bool, count=uniq.size,
+        )
+
     def search(self, query: str, k: int = 5, threshold: float = 0.0,
-               term_weights: dict[str, float] | None = None
+               term_weights: dict[str, float] | None = None,
+               conv_prefix: str | None = None
                ) -> list[tuple[int, str, int, float]]:
         """[(docid, conv_id, turn_idx, score)] — rank-identical with the
         oracle: canonical (docid, term-rank) accumulation order, (score
-        desc, docid asc) tie-break, OOV -> [] (never padded hits)."""
+        desc, docid asc) tie-break, OOV -> [] (never padded hits).
+        conv_prefix: serve only docs whose conv_id starts with it."""
         scored = self._scored(query, threshold, term_weights)
         if scored is None:
             return []
-        uniq, sums = self._select_topk(*scored, k)
+        uniq, sums = scored
+        if conv_prefix is not None:
+            m = self._prefix_mask(uniq, conv_prefix)
+            uniq, sums = uniq[m], sums[m]
+        if not uniq.size:
+            return []
+        uniq, sums = self._select_topk(uniq, sums, k)
         return [
             (int(d), str(self._conv[d]), int(self._turn[d]), float(s))
             for d, s in zip(uniq, sums)
@@ -277,14 +298,16 @@ class ShardedSearcher:
                 out[t] = idf_fn(self.n_docs, d)
         return out
 
-    def search(self, query: str, k: int = 5, threshold: float = 0.0
+    def search(self, query: str, k: int = 5, threshold: float = 0.0,
+               conv_prefix: str | None = None
                ) -> list[tuple[int, str, int, float]]:
         w = self._weights(query)
         if not w:
             return []
         hits = [
             h for s in self.searchers
-            for h in s.search(query, k=k, threshold=threshold, term_weights=w)
+            for h in s.search(query, k=k, threshold=threshold,
+                              term_weights=w, conv_prefix=conv_prefix)
         ]
         hits.sort(key=lambda h: (-h[3], h[0]))  # score desc, docid asc
         return hits[:k]

@@ -164,8 +164,11 @@ class ServingApp:
                     qs = urllib.parse.parse_qs(u.query)
                     q = (qs.get("q") or [""])[0]
                     k = int((qs.get("k") or ["5"])[0])
+                    # reference S2 composed with search at the API tier:
+                    # &prefix= restricts hits to conv_ids starting with it
+                    prefix = (qs.get("prefix") or [None])[0]
                     t0 = time.perf_counter()
-                    hits = app.searcher.search(q, k=k)
+                    hits = app.searcher.search(q, k=k, conv_prefix=prefix)
                     self._json(200, {
                         "query": q,
                         "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
