@@ -414,6 +414,27 @@ def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(spark.read.parquet(_p(sf_dir, "documents")))
 
 
+def _bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.lm import bigram_lm_nll
+
+    return bigram_lm_nll(spark.read.parquet(_p(sf_dir, "documents")))
+
+
+def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.lm import tfidf_keywords
+
+    return tfidf_keywords(spark.read.parquet(_p(sf_dir, "documents")), k=5)
+
+
+def _related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from visionsearch_spark.operators.lm import related_docs
+
+    return related_docs(
+        spark.read.parquet(_p(sf_dir, "documents")),
+        k_keywords=5, top_j=3, max_bucket=100,
+    )
+
+
 # deterministic PII suffix appended to every 7th doc INSIDE the contract
 # query (the synthetic corpus contains no PII — both engines build the
 # same augmented input, so the scrub rules are actually exercised)
@@ -769,6 +790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pack_documents": _pack_documents,
             "source_mixture": _source_mixture,
             "repetition_stats": _repetition_stats,
+            "bigram_lm_nll": _bigram_lm_nll,
+            "tfidf_keywords": _tfidf_keywords,
+            "related_docs": _related_docs,
             "pii_scrub": _pii_scrub,
             "mixture_weights": _mixture_weights,
             "deterministic_sample": _deterministic_sample,
@@ -1846,4 +1870,104 @@ WHERE l.pred_lang IN ('en') AND q.quality >= 0.6
         ANN_RECALL_QUERY_IDS, ANN_RECALL_K, n_planes=ANN_N_PLANES,
         max_hamming=6, seed=ANN_SEED
     )
+    # add-one smoothed bigram LM trained on the corpus, scored on the
+    # corpus (operators/lm.bigram_lm_nll). All counts exact ints; the
+    # single division is correctly rounded identically in both engines;
+    # ln feeds a multi-term sum where a ulp per term cannot reach the
+    # 1e-6 rounding boundary.
+    sql["bigram_lm_nll"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        p AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk)-1)) AS i
+                FROM t WHERE len(tk) >= 2)
+        ),
+        c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM p
+                GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+        v AS (SELECT count(DISTINCT w)::BIGINT AS vs
+              FROM (SELECT unnest(tk) AS w FROM t)),
+        s AS (
+          SELECT p.doc_id,
+                 -ln((c12.c12 + 1.0) / (c1.c1 + (SELECT vs FROM v))) AS nll
+          FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        ),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                       sum(nll) AS s FROM s GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+               CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+                    THEN round(agg.s / agg.n_bigrams, 6)
+                    ELSE 0.0 END AS avg_nll
+        FROM t LEFT JOIN agg USING (doc_id)
+    """
+    # top-5 smoothed TF-IDF keywords per doc; ranking is on the ROUNDED
+    # score with term-asc tie-break, so mathematically-tied scores order
+    # identically in both engines (operators/lm.tfidf_keywords)
+    sql["tfidf_keywords"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+          GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * ln(((SELECT nd FROM n) + 1.0) / df.df),
+                       6) AS tfidf
+          FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+    # more-like-this via shared top-5 keywords, bucket cap 100, top 3
+    # related per doc — all-integer scoring (operators/lm.related_docs)
+    sql["related_docs"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+          GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln(((SELECT nd FROM n) + 1.0) / df.df),
+                       6) AS tfidf
+          FROM tf JOIN df USING (term)
+        ),
+        kw AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, term, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= 5
+        ),
+        capped AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, term,
+                   count(*) OVER (PARTITION BY term) AS bucket
+            FROM kw
+          ) WHERE bucket <= 100
+        ),
+        shared AS (
+          SELECT a.doc_id AS doc_id, b.doc_id AS rel_id,
+                 count(*)::BIGINT AS shared
+          FROM capped a JOIN capped b USING (term)
+          WHERE a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_id, rel_id, shared, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY shared DESC, rel_id ASC) AS rank
+          FROM shared
+        ) WHERE rank <= 3
+    """
     return sql

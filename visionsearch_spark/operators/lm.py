@@ -1,0 +1,170 @@
+"""Statistical-LM and keyword operators over the documents corpus:
+
+* :func:`bigram_lm_nll` — CCNet-style quality scoring: train an add-one
+  smoothed bigram language model ON the corpus (one aggregation pass),
+  then score every document by its average negative log-likelihood under
+  that model. Boilerplate/spam full of globally-rare bigrams scores
+  high; fluent in-distribution text scores low. This is the
+  perplexity-filter stage of the standard web-crawl pipeline
+  (CCNet / Gopher), expressed as two groupBys and one join — no Python.
+* :func:`tfidf_keywords` — top-k characteristic terms per document by
+  smoothed TF-IDF, the classic fulltext summarization primitive (the
+  reference surfaces whole-payload results only; keywords are the
+  engine-side "why did this match" signal).
+* :func:`related_docs` — more-like-this: documents ranked by how many
+  top-k keywords they share, via a bucket-capped keyword self-join.
+
+Determinism contract (the driver value-hashes Spark vs DuckDB): every
+ranking happens on round(score, 6) with an explicit total tie-break
+(score desc, term/doc asc), so mathematically-tied scores — which the
+two engines' libm may realize a ulp apart — order identically
+everywhere.
+Division is always exact-int / exact-int -> one correctly-rounded double
+op, identical across engines; only ln() is transcendental, and it feeds
+either a 1e-6-rounded per-row value or a ~1e2-term sum where a ulp per
+term cannot reach the rounding boundary.
+
+Scale posture (100 TB): bigram counting is the index build's (term,
+doc) fan-out shape — partial-aggregated explode, one shuffle keyed by
+the bigram; the scoring join shuffles on the same key (AQE handles the
+Zipf head). tfidf is tf (one shuffle) + df (re-agg of tf, strictly
+smaller) + a doc-keyed window. related_docs caps each keyword bucket
+(default 100) so the self-join is O(cap^2 * terms), never quadratic in
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokens_col
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+
+
+def bigram_lm_nll(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): average -ln P(w2|w1) under the
+    corpus-trained add-one bigram model,
+        P(w2|w1) = (C(w1,w2) + 1) / (C(w1,*) + V),
+    V = corpus vocabulary size. Docs with < 2 tokens emit (0, 0.0).
+
+    Plan: explode bigram pairs (guarded F.sequence — empty below length
+    2), count C(w1,w2) with map-side partial agg, derive C(w1,*) by
+    re-aggregating those counts (no second pass over the data), broadcast
+    the 1-row vocab scalar, join the pair stream back to its counts, and
+    average per doc. The per-pair join key is the bigram itself — the
+    Zipf-head skew is the same one the index build already absorbs.
+    """
+    d = _doc_tokens(docs, text_col, id_col)
+    idxs = F.when(
+        F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = d.select(F.explode("_t").alias("_w")).agg(
+        F.countDistinct("_w").alias("_V")
+    )
+
+    nll = pairs.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(
+        F.broadcast(vocab)
+    ).select(
+        id_col,
+        (-F.log((F.col("_c12") + F.lit(1)) / (F.col("_c1") + F.col("_V"))))
+        .alias("_nll"),
+    )
+    agg = nll.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("_nll").alias("_s")
+    )
+    return d.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(F.col("_s") / F.col("n_bigrams"), 6),
+        ).otherwise(F.lit(0.0)).alias("avg_nll"),
+    )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k (doc_id, term, tf, tfidf, rank) per document by smoothed
+    TF-IDF: tfidf = tf * ln((N + 1) / df), N = corpus doc count (always
+    > 0 inside ln since df <= N). Ranked on round(tfidf, 6) with term-asc
+    tie-break — see the module determinism contract. Docs with no tokens
+    emit no rows (a keyword list for empty text is meaningless)."""
+    d = _doc_tokens(docs, text_col, id_col)
+    tf = (
+        d.select(id_col, F.explode("_t").alias("term"))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("_N"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(ndocs)).select(
+        id_col, "term", "tf",
+        F.round(
+            F.col("tf") * F.log((F.col("_N") + F.lit(1)) / F.col("_df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def related_docs(docs: DataFrame, k_keywords: int = 5, top_j: int = 3,
+                 max_bucket: int = 100, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """More-like-this over keywords: for each doc, the top_j other docs
+    sharing the most top-k_keywords TF-IDF keywords, ranked (shared
+    desc, rel_id asc) — all-integer scoring, bit-identical everywhere.
+
+    Keyword buckets larger than max_bucket (a term in the top-k of more
+    than max_bucket docs — near-duplicate blocks, template boilerplate)
+    are DROPPED before the self-join, the same guard shape as MinHash's
+    duplicate-cluster cap: the join is O(max_bucket^2) per term, never
+    quadratic in the corpus. Dropped terms mean those docs relate by
+    their remaining keywords (or not at all), which is the standard
+    trade — a term shared by everyone relates nothing."""
+    kw = tfidf_keywords(docs, k=k_keywords, text_col=text_col,
+                        id_col=id_col)
+    wb = Window.partitionBy("term")
+    capped = (
+        kw.withColumn("_bucket", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bucket") <= max_bucket)
+        .select(F.col(id_col).alias("_doc"), "term")
+    )
+    a = capped.select(F.col("_doc").alias(id_col), "term")
+    b = capped.select(F.col("_doc").alias("rel_id"), "term")
+    pairs = a.join(b, "term").filter(F.col(id_col) != F.col("rel_id"))
+    shared = pairs.groupBy(id_col, "rel_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("shared").desc(), F.col("rel_id").asc()
+    )
+    return (
+        shared.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_j)
+        .select(id_col, "rel_id", "shared", "rank")
+    )
