@@ -121,6 +121,39 @@ def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_QUERY = ("table scan", 20)
+BOOLEAN_QUERY = (["join"], ["filter", "stream"], ["dup"], 20)
+
+
+def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k: conjunctive index candidates -> staged-text
+    adjacency verify -> BM25 over the phrase's terms among matches
+    (query/boolean.phrase_topk; global stats unchanged)."""
+    from visionsearch_spark.query.boolean import phrase_topk
+
+    qtext, k = PHRASE_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = phrase_topk(spark, store, qtext, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-rule boolean search: must conjunctive, should score-only,
+    must_not excluded — zero-shuffle membership kernel feeding the
+    sideband fast path (query/boolean.boolean_topk)."""
+    from visionsearch_spark.query.boolean import boolean_topk
+
+    must, should, must_not, k = BOOLEAN_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = boolean_topk(spark, store, must=must, should=should,
+                       must_not=must_not, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 UNIT_QUERY = ("join filter stream", 20)
 
 
@@ -761,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "bm25_batch": _bm25_batch,
             "bm25_filtered": _bm25_filtered,
+            "bm25_phrase": _bm25_phrase,
+            "bm25_boolean": _bm25_boolean,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1543,6 +1578,27 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_filtered"] = _bm25_oracle(
         [(0, FILTERED_QUERY[0], FILTERED_QUERY[1])], with_qid=False,
         doc_pred=f"source LIKE '{FILTERED_QUERY[2]}%'",
+    )
+    # phrase containment as a doc predicate: the bigram list of the
+    # analyzed tokens contains the phrase gram (mirror of
+    # boolean.phrase_docids' verify step)
+    _ph = PHRASE_QUERY[0]
+    sql["bm25_phrase"] = _bm25_oracle(
+        [(0, _ph, PHRASE_QUERY[1])], with_qid=False,
+        doc_pred=(
+            f"len({toks}) >= 2 AND list_contains("
+            f"list_transform(generate_series(1, len({toks})-1), "
+            f"i -> {toks}[i] || ' ' || {toks}[i+1]), '{_ph}')"
+        ),
+    )
+    _bq_must, _bq_should, _bq_not, _bq_k = BOOLEAN_QUERY
+    sql["bm25_boolean"] = _bm25_oracle(
+        [(0, " ".join(sorted(set(_bq_must) | set(_bq_should))), _bq_k)],
+        with_qid=False,
+        doc_pred=" AND ".join(
+            [f"list_contains({toks}, '{t}')" for t in _bq_must]
+            + [f"NOT list_contains({toks}, '{t}')" for t in _bq_not]
+        ),
     )
     sql["bm25_unit_topk"] = _unit_bm25_oracle(*UNIT_QUERY)
     sql["bm25_fielded"] = _fielded_bm25_oracle(*FIELDED_QUERY)

@@ -1,0 +1,269 @@
+"""Boolean and phrase queries over the inverted index.
+
+* :func:`matching_docids` — the membership kernel: docids matching
+  (ALL of / ANY of) term sets minus an exclusion set, computed with
+  ZERO shuffle on the same file-aligned plan as scoring
+  (`wand._partial_scores`): every posting for a given docid — all
+  terms — lives in exactly ONE segment file (files are shard-complete
+  per the `spimi.write_segments` invariant, LSM dirs own disjoint
+  docid ranges), so per-file set algebra is globally exact and tasks
+  emit only the (small) matching docid sets. Only `docids_bin` is
+  decoded — tf/dl bytes are never read.
+* :func:`boolean_topk` — Lucene-style boolean search: `must` terms are
+  conjunctive, `should` terms contribute score only (unless there are
+  no musts, in which case any `should` match qualifies), `must_not`
+  excludes. Ranking is exact BM25 over must+should with UNCHANGED
+  global stats, delivered through `wand.batch_topk(docid_filter=...)`
+  — the membership set rides the r5 sideband fast path.
+* :func:`phrase_topk` — exact phrase search without a positional
+  index: conjunctive candidates from the index (cheap — bounded by the
+  rarest phrase term's postings), adjacency verified on the staged
+  text via JVM n-gram containment (the verify scan is candidate-pruned
+  with docid pushdown when the candidate set is small, a semi-join
+  otherwise — never an unconditional full-text scan), then BM25-ranked
+  over the phrase's terms. The reference has no phrase operator; this
+  is the standard fulltext surface built from this engine's own parts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokenize, tokens_col
+from visionsearch_spark.index.store import IndexStore
+from visionsearch_spark.query import wand
+
+# above this many candidates the phrase-verify scan switches from a
+# driver-collected docid-IN pushdown (row-group pruning on the
+# docid-sorted staged files) to a distributed semi-join — the driver
+# never materializes an unbounded set
+PHRASE_PUSHDOWN_MAX = 65536
+
+
+def _norm_terms(terms: list[str] | None) -> list[str]:
+    out: list[str] = []
+    for t in terms or []:
+        out.extend(tokenize(t))
+    return sorted(set(out))
+
+
+def _make_match_fn(all_of: list[str], any_of: list[str],
+                   none_of: list[str]):
+    """mapInArrow kernel: path rows in, matching docids out. Per-file
+    exactness per the module docstring."""
+    from visionsearch_spark.index.codec import decode_docids
+
+    read_terms = sorted(set(all_of) | set(any_of) | set(none_of))
+
+    def match(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        paths: list[str] = []
+        for b in batches:
+            for row in b.to_pandas().itertuples(index=False):
+                if row.paths is not None:
+                    paths.extend(row.paths)
+        if not paths:
+            return
+        scanner = pads.dataset(paths, format="parquet").scanner(
+            columns=["term", "n", "docids_bin"],
+            filter=pc.field("term").isin(read_terms),
+            use_threads=False,
+        )
+        per_term: dict[str, list[np.ndarray]] = {}
+        for b in scanner.to_batches():
+            pdf = b.to_pandas()
+            for row in pdf.itertuples(index=False):
+                per_term.setdefault(row.term, []).append(
+                    decode_docids(row.docids_bin, int(row.n))
+                )
+
+        def docs(t: str) -> np.ndarray:
+            arrs = per_term.get(t)
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(arrs))
+
+        if all_of:
+            base = docs(all_of[0])
+            for t in all_of[1:]:
+                if not base.size:
+                    break
+                base = np.intersect1d(base, docs(t), assume_unique=True)
+        else:
+            parts = [docs(t) for t in any_of]
+            parts = [p for p in parts if p.size]
+            base = (np.unique(np.concatenate(parts))
+                    if parts else np.empty(0, dtype=np.int64))
+        if none_of and base.size:
+            ex = [docs(t) for t in none_of]
+            ex = [e for e in ex if e.size]
+            if ex:
+                base = np.setdiff1d(base, np.concatenate(ex))
+        if base.size:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame({"docid": base.astype(np.int64)}),
+                preserve_index=False,
+            )
+
+    return match
+
+
+def matching_docids(
+    spark: SparkSession,
+    store: IndexStore,
+    all_of: list[str] | None = None,
+    any_of: list[str] | None = None,
+    none_of: list[str] | None = None,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """DataFrame('docid long') of docs matching the boolean membership
+    spec. Requires all_of or any_of (an exclusion-only query would mean
+    enumerating the complement of a posting list — compose it against
+    an explicit candidate set instead)."""
+    all_of = _norm_terms(all_of)
+    any_of = _norm_terms(any_of)
+    none_of = _norm_terms(none_of)
+    if not all_of and not any_of:
+        raise ValueError("matching_docids requires all_of or any_of terms")
+
+    empty = wand._local_df(spark, [], "docid long", ["docid"])
+    meta = store.read_meta()
+    if int(meta.get("n_docs", 0)) == 0:
+        return empty
+    # driver-side df lookup (memoized pyarrow, same as query planning):
+    # a required term with zero postings empties the conjunction without
+    # running a job; absent optional/excluded terms just drop out
+    dfs = wand._lookup_term_dfs(
+        spark, store, sorted(set(all_of) | set(any_of) | set(none_of))
+    )
+    if any(t not in dfs for t in all_of):
+        return empty
+    any_of = [t for t in any_of if t in dfs]
+    none_of = [t for t in none_of if t in dfs]
+    if not all_of and not any_of:
+        return empty
+
+    files = wand._segment_files(store)
+    if not files:
+        return empty
+    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    bins = wand._lpt_bins(files, min(n_tasks, len(files)))
+    rkeys = wand._route_keys(len(bins))
+    paths_df = wand._local_df(
+        spark, [(rkeys[i], b) for i, b in enumerate(bins)],
+        "route_key long, paths array<string>", ["route_key", "paths"],
+    )
+    return (
+        paths_df.repartition(len(bins), "route_key")
+        .mapInArrow(_make_match_fn(all_of, any_of, none_of), "docid long")
+    )
+
+
+def boolean_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 5,
+    threshold: float = 0.0,
+    query_id: int = 0,
+) -> DataFrame:
+    """Boolean-filtered BM25 top-k (wand.RESULT_DDL shape). Scoring terms
+    = must + should; membership per the Lucene rule (musts conjunctive,
+    shoulds qualify only when no musts, must_not always excludes)."""
+    must_t = _norm_terms(must)
+    should_t = _norm_terms(should)
+    if not must_t and not should_t:
+        raise ValueError("boolean_topk requires must or should terms")
+    allow = matching_docids(
+        spark, store,
+        all_of=must_t or None,
+        any_of=None if must_t else should_t,
+        none_of=must_not,
+    )
+    qtext = " ".join(sorted(set(must_t) | set(should_t)))
+    return wand.batch_topk(
+        spark, store, [(query_id, qtext, k)], threshold=threshold,
+        docid_filter=allow,
+    )
+
+
+def phrase_docids(
+    spark: SparkSession,
+    store: IndexStore,
+    phrase: str,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """DataFrame('docid long') of docs containing the EXACT analyzed
+    token sequence. Candidates = conjunctive index match; adjacency =
+    m-gram containment over the staged text (JVM array ops), scanned
+    candidate-only."""
+    toks = tokenize(phrase)
+    if not toks:
+        return wand._local_df(spark, [], "docid long", ["docid"])
+    cands = matching_docids(spark, store, all_of=toks, n_tasks=n_tasks)
+    if len(toks) == 1:
+        return cands
+    m = len(toks)
+    gram = " ".join(toks)
+    staged = spark.read.parquet(store.staged_path).select("docid", "text")
+    # candidate-pruned verify scan: IN-pushdown (row-group pruning on
+    # docid-sorted staged files) while the set is small, semi-join past
+    # the cap — collect is bounded by PHRASE_PUSHDOWN_MAX + 1 rows
+    head = cands.limit(PHRASE_PUSHDOWN_MAX + 1).collect()
+    if len(head) <= PHRASE_PUSHDOWN_MAX:
+        if not head:
+            return wand._local_df(spark, [], "docid long", ["docid"])
+        staged = staged.filter(
+            F.col("docid").isin([int(r["docid"]) for r in head])
+        )
+    else:
+        staged = staged.join(cands, "docid", "left_semi")
+    return (
+        staged.withColumn("_tk", tokens_col("text"))
+        .withColumn("_hit", F.array_contains(
+            F.transform(
+                F.when(
+                    F.size("_tk") >= m,
+                    F.sequence(F.lit(1), F.size("_tk") - (m - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat_ws(" ", F.slice("_tk", i, m)),
+            ),
+            gram,
+        ))
+        .filter(F.col("_hit"))
+        .select("docid")
+    )
+
+
+def phrase_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    phrase: str,
+    k: int = 5,
+    threshold: float = 0.0,
+    query_id: int = 0,
+) -> DataFrame:
+    """Exact-phrase BM25 top-k: rank only docs containing the analyzed
+    token sequence, scored over the phrase's terms with UNCHANGED global
+    stats (filter-the-results semantics, like every sideband query)."""
+    toks = tokenize(phrase)
+    if not toks:
+        return wand._local_df(
+            spark, [], wand.RESULT_DDL, wand.RESULT_COLUMNS
+        )
+    verified = phrase_docids(spark, store, phrase)
+    qtext = " ".join(sorted(set(toks)))
+    return wand.batch_topk(
+        spark, store, [(query_id, qtext, k)], threshold=threshold,
+        docid_filter=verified,
+    )
