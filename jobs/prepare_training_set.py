@@ -17,7 +17,12 @@ captions instead of redoing work):
 
   scrub          pii_scrub: URL/email/phone redaction, text := clean
   filter         training_set_filter (exact-dedup ∧ lang ∧ quality ∧
-                 token band) ∧ Gopher repetition caps
+                 token band) ∧ Gopher repetition caps ∧ (with
+                 --max-nll) the CCNet-style perplexity gate: drop docs
+                 whose avg bigram-LM NLL under the corpus-trained model
+                 (operators/lm.bigram_lm_nll, trained on the SCRUBBED
+                 corpus) exceeds the cap; no-bigram docs pass (the LM
+                 cannot judge them — the token band catches them)
   dedup          dedup_corpus: MinHash-LSH near-dup pairs → connected
                  components → keep min-id representative
   decontaminate  cross_contamination vs --benchmark: drop corpus docs
@@ -104,6 +109,7 @@ def prepare_training_set(
     min_tokens: int = 5,
     max_tokens: int = 1000,
     tau: float = 0.5,
+    max_nll: float | None = None,
 ) -> dict:
     """Run (or resume) the pipeline; returns {stage: rows_out}."""
     from visionsearch_spark.operators.dedup import (
@@ -139,8 +145,15 @@ def prepare_training_set(
             & (F.col("dup_3gram_frac") <= DUP_3GRAM_MAX)
             & (F.col("top_term_frac") <= TOP_TERM_MAX)
         ).select("doc_id")
-        _run_stage(out, "filter", scrub_df.count(),
-                   scrub_df.join(keep, "doc_id").join(rep_ok, "doc_id"))
+        filtered = scrub_df.join(keep, "doc_id").join(rep_ok, "doc_id")
+        if max_nll is not None:
+            from visionsearch_spark.operators.lm import bigram_lm_nll
+
+            lm_ok = bigram_lm_nll(scrub_df).filter(
+                (F.col("n_bigrams") == 0) | (F.col("avg_nll") <= max_nll)
+            ).select("doc_id")
+            filtered = filtered.join(lm_ok, "doc_id")
+        _run_stage(out, "filter", scrub_df.count(), filtered)
     filter_df = spark.read.parquet(_stage_dir(out, "filter"))
 
     if not _is_done(out, "dedup"):
@@ -188,6 +201,9 @@ def main() -> None:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=1000)
     p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--max-nll", type=float, default=None,
+                   help="perplexity gate: drop docs with avg bigram-LM "
+                        "NLL above this (off when omitted)")
     args = p.parse_args()
 
     spark = (SparkSession.builder.appName("prepare-training-set")
@@ -201,6 +217,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
         tau=args.tau,
+        max_nll=args.max_nll,
     )
     for stage in STAGES:
         if stage in counts:

@@ -165,3 +165,48 @@ def test_cli_end_to_end(tmp_path_factory):
               for ln in open(os.path.join(out, "manifest.jsonl"))
               for m in [json.loads(ln)]}
     assert counts["decontaminate"] == counts["dedup"]
+
+
+def test_perplexity_gate(spark, tmp_path_factory):
+    """--max-nll composes the bigram-LM gate into the filter stage:
+    filter count == base filters ∧ (n_bigrams == 0 ∨ avg_nll <= cap),
+    and a permissive cap changes nothing."""
+    from visionsearch_spark.operators.lm import bigram_lm_nll
+    from visionsearch_spark.operators.textstats import (
+        pii_scrub,
+        repetition_stats,
+        training_set_filter,
+    )
+    from jobs.prepare_training_set import (
+        DUP_2GRAM_MAX,
+        DUP_3GRAM_MAX,
+        TOP_TERM_MAX,
+        prepare_training_set,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    scrubbed = pii_scrub(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    nll = bigram_lm_nll(scrubbed)
+    # a cap at the observed median guarantees the gate drops real rows
+    cap = nll.filter(F.col("n_bigrams") > 0) \
+        .approxQuantile("avg_nll", [0.5], 0.0)[0]
+
+    out = str(tmp_path_factory.mktemp("prep_nll")) + "/out"
+    counts = prepare_training_set(spark, DOCS, out, max_nll=cap)
+
+    keep = training_set_filter(scrubbed).select("doc_id")
+    rep_ok = repetition_stats(scrubbed).filter(
+        (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX)
+        & (F.col("dup_3gram_frac") <= DUP_3GRAM_MAX)
+        & (F.col("top_term_frac") <= TOP_TERM_MAX)
+    ).select("doc_id")
+    lm_ok = nll.filter(
+        (F.col("n_bigrams") == 0) | (F.col("avg_nll") <= cap)
+    ).select("doc_id")
+    exp = scrubbed.join(keep, "doc_id").join(rep_ok, "doc_id") \
+        .join(lm_ok, "doc_id").count()
+    base = scrubbed.join(keep, "doc_id").join(rep_ok, "doc_id").count()
+    assert counts["filter"] == exp
+    assert exp < base  # the gate did real work at the median cap
