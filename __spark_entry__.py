@@ -139,6 +139,23 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROXIMITY_QUERY = (["table", "scan"], 6, 20)
+
+
+def _bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (Lucene SpanNear, inOrder=false): rank only docs
+    where every term co-occurs inside a 6-token window, BM25 over those
+    terms with global stats unchanged (query/boolean.proximity_topk)."""
+    from visionsearch_spark.query.boolean import proximity_topk
+
+    terms, window, k = PROXIMITY_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = proximity_topk(spark, store, terms, window, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def _bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-rule boolean search: must conjunctive, should score-only,
     must_not excluded — zero-shuffle membership kernel feeding the
@@ -795,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_batch": _bm25_batch,
             "bm25_filtered": _bm25_filtered,
             "bm25_phrase": _bm25_phrase,
+            "bm25_proximity": _bm25_proximity,
             "bm25_boolean": _bm25_boolean,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
@@ -1589,6 +1607,20 @@ def oracle_sql() -> dict[str, str]:
             f"len({toks}) >= 2 AND list_contains("
             f"list_transform(generate_series(1, len({toks})-1), "
             f"i -> {toks}[i] || ' ' || {toks}[i+1]), '{_ph}')"
+        ),
+    )
+    # proximity containment as a doc predicate: some window of W
+    # consecutive tokens holds every term (mirror of
+    # boolean.proximity_docids' verify step; slice is 1-based inclusive)
+    _px_terms, _px_w, _px_k = PROXIMITY_QUERY
+    _px_pred = " AND ".join(
+        f"list_contains({toks}[i:i+{_px_w - 1}], '{t}')" for t in _px_terms
+    )
+    sql["bm25_proximity"] = _bm25_oracle(
+        [(0, " ".join(sorted(set(_px_terms))), _px_k)], with_qid=False,
+        doc_pred=(
+            f"len(list_filter(generate_series(1, greatest(1, "
+            f"len({toks})-{_px_w - 1})), i -> {_px_pred})) > 0"
         ),
     )
     _bq_must, _bq_should, _bq_not, _bq_k = BOOLEAN_QUERY

@@ -16,6 +16,8 @@ from visionsearch_spark.query.boolean import (
     matching_docids,
     phrase_docids,
     phrase_topk,
+    proximity_docids,
+    proximity_topk,
 )
 
 
@@ -168,3 +170,71 @@ def test_membership_exact_on_appended_store(spark, transcripts,
     for kw in [dict(all_of=["join", "filter"]),
                dict(any_of=["vector", "checkpoint"], none_of=["dup"])]:
         assert convs(store_a, **kw) == convs(store_f, **kw), kw
+
+
+def _prox_match(doc_tokens, terms, window):
+    """Exhaustive oracle: any window of `window` consecutive tokens
+    holding ALL terms (unordered)."""
+    out = set()
+    for d, tk in doc_tokens.items():
+        for i in range(max(1, len(tk) - window + 1)):
+            win = set(tk[i:i + window])
+            if all(t in win for t in terms):
+                out.add(d)
+                break
+    return out
+
+
+def test_proximity_docids_exact(spark, bool_store, doc_tokens):
+    for terms, window in [(["join", "filter"], 3),
+                          (["scan", "merge"], 5),
+                          (["the", "fast"], 2),
+                          (["join", "filter", "stream"], 8)]:
+        exp = sorted(_prox_match(doc_tokens, terms, window))
+        got = _ids(proximity_docids(spark, bool_store, terms, window))
+        assert got == exp, (terms, window)
+    # single term degenerates to membership
+    exp = sorted(d for d, tk in doc_tokens.items() if "join" in tk)
+    assert _ids(proximity_docids(spark, bool_store, ["join"], 1)) == exp
+    with pytest.raises(ValueError):
+        proximity_docids(spark, bool_store, ["join", "filter"], 1)
+
+
+def test_proximity_vs_phrase_containment(spark, bool_store, doc_tokens):
+    """Every phrase match is a proximity match at window=len (phrase is
+    the ordered special case)."""
+    phrase = "join filter"
+    ph = tokenize(phrase)
+    ph_ids = set(_ids(phrase_docids(spark, bool_store, phrase)))
+    prox_ids = set(_ids(proximity_docids(spark, bool_store, ph, len(ph))))
+    assert ph_ids <= prox_ids
+
+
+def test_proximity_topk_rank_identity(spark, bool_store, doc_tokens,
+                                      oracle_index):
+    terms, window, k = ["join", "filter"], 4, 10
+    match = _prox_match(doc_tokens, terms, window)
+    full = oracle_search(oracle_index, " ".join(sorted(set(terms))),
+                         k=len(doc_tokens))
+    exp = [h for h in full if h[0] in match][:k]
+    got = proximity_topk(spark, bool_store, terms, window, k=k) \
+        .orderBy("rank").collect()
+    assert [(r.docid, r.conv_id, r.turn_idx) for r in got] \
+        == [(d, c, t) for d, c, t, _s in exp]
+    for r, e in zip(got, exp):
+        assert math.isclose(r.score, e[3], rel_tol=1e-9)
+
+
+def test_membership_plan_no_segment_scan(spark, bool_store):
+    """Plan guard (PLANS.md §23): the membership kernel reads segment
+    files in-task — no Spark FileScan of any segment dir, no
+    shard-keyed exchange; the only exchange is the ~100-byte
+    route_key path shuffle."""
+    df = matching_docids(spark, bool_store, all_of=["join", "filter"],
+                         none_of=["dup"])
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg_dirs = bool_store.segment_paths()
+    assert not any(d in plan for d in seg_dirs)
+    assert "hashpartitioning(shard" not in plan
+    assert "hashpartitioning(route_key" in plan

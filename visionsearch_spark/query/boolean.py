@@ -197,6 +197,23 @@ def boolean_topk(
     )
 
 
+def _pruned_staged(spark: SparkSession, store: IndexStore,
+                   cands: DataFrame) -> DataFrame | None:
+    """Candidate-pruned staged-text scan: docid-IN pushdown (row-group
+    pruning on the docid-sorted staged files) while the set is small,
+    a distributed semi-join past the cap — the driver collect is
+    bounded by PHRASE_PUSHDOWN_MAX + 1 rows. None = no candidates."""
+    staged = spark.read.parquet(store.staged_path).select("docid", "text")
+    head = cands.limit(PHRASE_PUSHDOWN_MAX + 1).collect()
+    if len(head) <= PHRASE_PUSHDOWN_MAX:
+        if not head:
+            return None
+        return staged.filter(
+            F.col("docid").isin([int(r["docid"]) for r in head])
+        )
+    return staged.join(cands, "docid", "left_semi")
+
+
 def phrase_docids(
     spark: SparkSession,
     store: IndexStore,
@@ -215,19 +232,9 @@ def phrase_docids(
         return cands
     m = len(toks)
     gram = " ".join(toks)
-    staged = spark.read.parquet(store.staged_path).select("docid", "text")
-    # candidate-pruned verify scan: IN-pushdown (row-group pruning on
-    # docid-sorted staged files) while the set is small, semi-join past
-    # the cap — collect is bounded by PHRASE_PUSHDOWN_MAX + 1 rows
-    head = cands.limit(PHRASE_PUSHDOWN_MAX + 1).collect()
-    if len(head) <= PHRASE_PUSHDOWN_MAX:
-        if not head:
-            return wand._local_df(spark, [], "docid long", ["docid"])
-        staged = staged.filter(
-            F.col("docid").isin([int(r["docid"]) for r in head])
-        )
-    else:
-        staged = staged.join(cands, "docid", "left_semi")
+    staged = _pruned_staged(spark, store, cands)
+    if staged is None:
+        return wand._local_df(spark, [], "docid long", ["docid"])
     return (
         staged.withColumn("_tk", tokens_col("text"))
         .withColumn("_hit", F.array_contains(
@@ -266,4 +273,74 @@ def phrase_topk(
     return wand.batch_topk(
         spark, store, [(query_id, qtext, k)], threshold=threshold,
         docid_filter=verified,
+    )
+
+
+def proximity_docids(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    window: int,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """DataFrame('docid long') of docs where ALL terms co-occur inside
+    some window of `window` consecutive tokens (unordered — Lucene's
+    SpanNear with inOrder=false; phrase is the ordered window==len
+    special case). Candidates = conjunctive index match (a doc can't
+    window-match without containing every term); the window check runs
+    candidate-only over the staged text as pure JVM array ops. Docs
+    shorter than the window are checked whole."""
+    toks = _norm_terms(terms)
+    if not toks:
+        return wand._local_df(spark, [], "docid long", ["docid"])
+    if window < len(toks):
+        raise ValueError(
+            f"window {window} can never hold {len(toks)} distinct terms"
+        )
+    cands = matching_docids(spark, store, all_of=toks, n_tasks=n_tasks)
+    if len(toks) == 1:
+        return cands
+    staged = _pruned_staged(spark, store, cands)
+    if staged is None:
+        return wand._local_df(spark, [], "docid long", ["docid"])
+
+    def window_has_all(i):
+        win = F.slice("_tk", i, window)
+        cond = F.array_contains(win, toks[0])
+        for t in toks[1:]:
+            cond = cond & F.array_contains(win, t)
+        return cond
+
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("_tk") - (window - 1)),
+    )
+    return (
+        staged.withColumn("_tk", tokens_col("text"))
+        .filter(F.exists(starts, window_has_all))
+        .select("docid")
+    )
+
+
+def proximity_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    window: int,
+    k: int = 5,
+    threshold: float = 0.0,
+    query_id: int = 0,
+) -> DataFrame:
+    """Proximity-filtered BM25 top-k: rank only docs where the terms
+    co-occur within the window, scored over those terms with UNCHANGED
+    global stats (filter-the-results semantics)."""
+    toks = _norm_terms(terms)
+    if not toks:
+        return wand._local_df(
+            spark, [], wand.RESULT_DDL, wand.RESULT_COLUMNS
+        )
+    verified = proximity_docids(spark, store, terms, window)
+    return wand.batch_topk(
+        spark, store, [(query_id, " ".join(toks), k)],
+        threshold=threshold, docid_filter=verified,
     )
