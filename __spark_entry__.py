@@ -171,6 +171,53 @@ def _bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_QUERY = ("s", 4, 20)       # (prefix, max_expansions, k) — cap binds
+WILDCARD_QUERY = ("s*a*", 50, 20)  # (pattern, max_expansions, k)
+FUZZY_QUERY = ("prt", 2, 0, 50, 20)  # (term, max_edits, prefix_len, cap, k)
+
+
+def _bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search: top-df dictionary expansions of the prefix (the
+    cap BINDS here — Lucene top-terms rewrite tie-broken df desc, term
+    asc), ranked as a BM25 disjunction (query/multiterm.prefix_topk)."""
+    from visionsearch_spark.query.multiterm import prefix_topk
+
+    prefix, cap, k = PREFIX_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = prefix_topk(spark, store, prefix, k=k, max_expansions=cap)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard search (`*`/`?` over the term dictionary), ranked as a
+    BM25 disjunction (query/multiterm.wildcard_topk)."""
+    from visionsearch_spark.query.multiterm import wildcard_topk
+
+    pattern, cap, k = WILDCARD_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = wildcard_topk(spark, store, pattern, k=k, max_expansions=cap)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy search: dictionary terms within Levenshtein max_edits of
+    the query term, ranked as a BM25 disjunction
+    (query/multiterm.fuzzy_topk)."""
+    from visionsearch_spark.query.multiterm import fuzzy_topk
+
+    term, edits, pfx, cap, k = FUZZY_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = fuzzy_topk(spark, store, term, k=k, max_edits=edits,
+                     prefix_length=pfx, max_expansions=cap)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 UNIT_QUERY = ("join filter stream", 20)
 
 
@@ -814,6 +861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_phrase": _bm25_phrase,
             "bm25_proximity": _bm25_proximity,
             "bm25_boolean": _bm25_boolean,
+            "bm25_prefix": _bm25_prefix,
+            "bm25_wildcard": _bm25_wildcard,
+            "bm25_fuzzy": _bm25_fuzzy,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1347,13 +1397,18 @@ FROM (
     return " UNION ALL ".join(blocks)
 
 def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
-                 doc_pred: str | None = None) -> str:
+                 doc_pred: str | None = None,
+                 q_sql: str | None = None) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
     the driver-side twin of visionsearch_spark.oracle. doc_pred restricts
     which docs are RANKED (filter-the-results semantics); df/N/avgdl stay
-    global, mirroring wand.batch_topk(docid_filter=...)."""
+    global, mirroring wand.batch_topk(docid_filter=...). q_sql, when
+    given, REPLACES the literal VALUES term list with a computed
+    (query_id, term, k) select — the multi-term rewrites (prefix /
+    wildcard / fuzzy) derive their term set from the corpus vocabulary
+    the same way the engine derives it from the term dictionary."""
     toks = duckdb_tokens("text")
-    qrows = ", ".join(
+    qrows = q_sql if q_sql is not None else "VALUES " + ", ".join(
         f"({qid}, '{t}', {kk})"
         for qid, text, kk in batch
         for t in sorted(set(tokenize(text)))
@@ -1368,7 +1423,7 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
         if doc_pred else ""
     )
     return f"""
-WITH q(query_id, term, k) AS (VALUES {qrows}),
+WITH q(query_id, term, k) AS ({qrows}),
 toks AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
 ),
@@ -1631,6 +1686,43 @@ def oracle_sql() -> dict[str, str]:
             [f"list_contains({toks}, '{t}')" for t in _bq_must]
             + [f"NOT list_contains({toks}, '{t}')" for t in _bq_not]
         ),
+    )
+    # multi-term rewrites: the q CTE is COMPUTED from the corpus
+    # vocabulary (df = docs containing the term — identical to the
+    # engine's term dictionary), top-`cap` by (df desc, term asc),
+    # mirroring multiterm.expand_* exactly
+    _vocab = (
+        f"SELECT term, count(*) AS df FROM (SELECT doc_id, "
+        f"unnest(list_distinct({toks})) AS term FROM documents) "
+        f"GROUP BY term"
+    )
+
+    def _expand_q(pred: str, cap: int, k: int) -> str:
+        return (
+            f"SELECT 0 AS query_id, term, {k} AS k FROM ({_vocab}) "
+            f"WHERE {pred} ORDER BY df DESC, term ASC LIMIT {cap}"
+        )
+
+    _pf, _pf_cap, _pf_k = PREFIX_QUERY
+    sql["bm25_prefix"] = _bm25_oracle(
+        [], with_qid=False,
+        q_sql=_expand_q(f"term LIKE '{_pf}%'", _pf_cap, _pf_k),
+    )
+    _wc, _wc_cap, _wc_k = WILDCARD_QUERY
+    _wc_rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else c for c in _wc
+    ) + "$"
+    sql["bm25_wildcard"] = _bm25_oracle(
+        [], with_qid=False,
+        q_sql=_expand_q(f"regexp_full_match(term, '{_wc_rx}')",
+                        _wc_cap, _wc_k),
+    )
+    _fz, _fz_ed, _fz_pfx, _fz_cap, _fz_k = FUZZY_QUERY
+    _fz_pred = f"levenshtein(term, '{_fz}') <= {_fz_ed}"
+    if _fz_pfx:
+        _fz_pred = f"term LIKE '{_fz[:_fz_pfx]}%' AND {_fz_pred}"
+    sql["bm25_fuzzy"] = _bm25_oracle(
+        [], with_qid=False, q_sql=_expand_q(_fz_pred, _fz_cap, _fz_k),
     )
     sql["bm25_unit_topk"] = _unit_bm25_oracle(*UNIT_QUERY)
     sql["bm25_fielded"] = _fielded_bm25_oracle(*FIELDED_QUERY)

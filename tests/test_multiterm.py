@@ -1,0 +1,153 @@
+"""Multi-term query rewriting: prefix / wildcard / fuzzy expansion and
+BM25-ranked rewrites, checked against exhaustive Python oracles over the
+fixture corpus (both expansion paths — driver pyarrow and Spark — must
+agree exactly)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from visionsearch_spark.analyzer import tokenize
+from visionsearch_spark.index.spimi import build_index
+from visionsearch_spark.oracle import oracle_search
+from visionsearch_spark.query.multiterm import (
+    _lev_within,
+    expand_fuzzy,
+    expand_prefix,
+    expand_wildcard,
+    fuzzy_topk,
+    prefix_topk,
+    wildcard_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mt_store(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mtidx"))
+    return build_index(transcripts, root, n_partitions=8, n_shards=16)
+
+
+@pytest.fixture(scope="module")
+def vocab_df(spark, mt_store):
+    """term -> document frequency, straight from the staged text."""
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(mt_store.staged_path,
+                       columns=["docid", "text"]).to_pandas()
+    c: Counter = Counter()
+    for r in st.itertuples(index=False):
+        c.update(set(tokenize(r.text)))
+    return dict(c)
+
+
+def _oracle_expand(vocab: dict[str, int], pred, cap: int):
+    hits = [(t, df) for t, df in vocab.items() if pred(t)]
+    return sorted(hits, key=lambda p: (-p[1], p[0]))[:cap]
+
+
+@pytest.mark.parametrize("use_spark", [False, True],
+                         ids=["driver", "spark"])
+def test_expand_prefix_exact(spark, mt_store, vocab_df, use_spark):
+    for prefix, cap in [("s", 50), ("s", 3), ("jo", 50), ("qqq", 50)]:
+        exp = _oracle_expand(vocab_df, lambda t: t.startswith(prefix), cap)
+        got = expand_prefix(spark, mt_store, prefix, cap,
+                            use_spark=use_spark)
+        assert got == exp, (prefix, cap)
+    with pytest.raises(ValueError):
+        expand_prefix(spark, mt_store, "no*pe")
+
+
+@pytest.mark.parametrize("use_spark", [False, True],
+                         ids=["driver", "spark"])
+def test_expand_wildcard_exact(spark, mt_store, vocab_df, use_spark):
+    cases = ["s*", "*am*", "s?a?", "f*r", "join", "zz*", "?????"]
+    for pat in cases:
+        rx = re.compile(
+            "^" + "".join(".*" if c == "*" else "." if c == "?" else c
+                          for c in pat) + "$"
+        )
+        exp = _oracle_expand(vocab_df, lambda t: bool(rx.match(t)), 50)
+        got = expand_wildcard(spark, mt_store, pat, 50,
+                              use_spark=use_spark)
+        assert got == exp, pat
+    with pytest.raises(ValueError):
+        expand_wildcard(spark, mt_store, "ba[d]")
+
+
+def test_lev_within_matches_full_dp():
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "scan", "scna", "stream", "sort", "prt", "filter",
+             "flter", "joins", "xyzzy"]
+    for a in words:
+        for b in words:
+            for k in (0, 1, 2, 3):
+                assert _lev_within(a, b, k) == (lev(a, b) <= k), (a, b, k)
+
+
+@pytest.mark.parametrize("use_spark", [False, True],
+                         ids=["driver", "spark"])
+def test_expand_fuzzy_exact(spark, mt_store, vocab_df, use_spark):
+    for term, edits, pfx in [("scna", 2, 0), ("join", 1, 0),
+                             ("flter", 1, 0), ("stram", 2, 2),
+                             ("prt", 2, 0)]:
+        exp = _oracle_expand(
+            vocab_df,
+            lambda t: t[:pfx] == term[:pfx] and _lev_within(t, term, edits),
+            50,
+        )
+        got = expand_fuzzy(spark, mt_store, term, edits, pfx, 50,
+                           use_spark=use_spark)
+        assert got == exp, (term, edits, pfx)
+    with pytest.raises(ValueError):
+        expand_fuzzy(spark, mt_store, "two words")
+
+
+def test_prefix_topk_rank_identity(spark, mt_store, oracle_index):
+    """Rewrite + rank == naive oracle BM25 over the expanded terms."""
+    exp = expand_prefix(spark, mt_store, "s", 50)
+    qtext = " ".join(sorted(t for t, _ in exp))
+    want = oracle_search(oracle_index, qtext, k=10)
+    got = prefix_topk(spark, mt_store, "s", k=10).orderBy("rank").collect()
+    assert [(r.docid, r.conv_id, r.turn_idx) for r in got] \
+        == [(d, c, t) for d, c, t, _s in want]
+    for r, e in zip(got, want):
+        assert math.isclose(r.score, e[3], rel_tol=1e-9)
+
+
+def test_fuzzy_topk_and_empty_expansion(spark, mt_store, oracle_index):
+    exp = expand_fuzzy(spark, mt_store, "scna", 2, 0)
+    assert exp, "fixture corpus should contain a 2-edit neighbor of scna"
+    qtext = " ".join(sorted(t for t, _ in exp))
+    want = oracle_search(oracle_index, qtext, k=8)
+    got = fuzzy_topk(spark, mt_store, "scna", k=8).orderBy("rank").collect()
+    assert [(r.docid, r.turn_idx) for r in got] \
+        == [(d, t) for d, _c, t, _s in want]
+    # no expansion -> empty frame with the result schema, no error
+    assert fuzzy_topk(spark, mt_store, "qqqqqqqq", k=5,
+                      max_edits=1).count() == 0
+    assert wildcard_topk(spark, mt_store, "zzz*qq", k=5).count() == 0
+
+
+def test_expansion_cap_is_deterministic(spark, mt_store, vocab_df):
+    """When the cap binds, winners are the top-df terms with the
+    (df desc, term asc) tie-break — identical on both paths."""
+    full = _oracle_expand(vocab_df, lambda t: t.startswith("s"), 10 ** 6)
+    for cap in (1, 2, 3):
+        want = full[:cap]
+        for use_spark in (False, True):
+            got = expand_prefix(spark, mt_store, "s", cap,
+                                use_spark=use_spark)
+            assert got == want, (cap, use_spark)
