@@ -218,6 +218,38 @@ def _bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FACET_QUERY = (["stream", "window"], ["lang", "source"])  # (any_of, facets)
+MATCH_COUNT_QUERY = (["join", "filter"], ["dup"])  # (all_of, none_of)
+
+
+def _search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet aggregation alongside search: per-field value counts over
+    ALL docs matching a boolean membership query (query/facets
+    .facet_counts — zero-shuffle membership, one stacked group-by)."""
+    from visionsearch_spark.query.facets import facet_counts
+
+    any_of, facets = FACET_QUERY
+    store = get_documents_index(spark, sf_dir)
+    docmap = spark.read.parquet(store.docmap_path).select("docid", "conv_id")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", *facets)
+    meta = docmap.select(
+        "docid", doc_id_col().alias("doc_id")
+    ).join(docs, "doc_id")
+    return facet_counts(spark, store, meta, facets, any_of=any_of)
+
+
+def _search_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits count for a boolean query (query/facets.match_count)
+    — the 'N results' header, no ranking."""
+    from visionsearch_spark.query.facets import match_count
+
+    all_of, none_of = MATCH_COUNT_QUERY
+    store = get_documents_index(spark, sf_dir)
+    return match_count(spark, store, all_of=all_of, none_of=none_of)
+
+
 UNIT_QUERY = ("join filter stream", 20)
 
 
@@ -864,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_prefix": _bm25_prefix,
             "bm25_wildcard": _bm25_wildcard,
             "bm25_fuzzy": _bm25_fuzzy,
+            "search_facets": _search_facets,
+            "search_match_count": _search_match_count,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1723,6 +1757,24 @@ def oracle_sql() -> dict[str, str]:
         _fz_pred = f"term LIKE '{_fz[:_fz_pfx]}%' AND {_fz_pred}"
     sql["bm25_fuzzy"] = _bm25_oracle(
         [], with_qid=False, q_sql=_expand_q(_fz_pred, _fz_cap, _fz_k),
+    )
+    # facets / total hits: membership = boolean containment over the
+    # analyzed token list, identical to the index membership kernel
+    _fc_any, _fc_facets = FACET_QUERY
+    _fc_any_sql = "[" + ", ".join(f"'{t}'" for t in _fc_any) + "]"
+    sql["search_facets"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS facet, CAST({c} AS VARCHAR) AS value, "
+        f"count(*)::BIGINT AS n_docs FROM documents "
+        f"WHERE list_has_any({toks}, {_fc_any_sql}) GROUP BY {c}"
+        for c in _fc_facets
+    )
+    _mc_all, _mc_none = MATCH_COUNT_QUERY
+    sql["search_match_count"] = (
+        "SELECT count(*)::BIGINT AS n_docs FROM documents WHERE "
+        + " AND ".join(
+            [f"list_contains({toks}, '{t}')" for t in _mc_all]
+            + [f"NOT list_contains({toks}, '{t}')" for t in _mc_none]
+        )
     )
     sql["bm25_unit_topk"] = _unit_bm25_oracle(*UNIT_QUERY)
     sql["bm25_fielded"] = _fielded_bm25_oracle(*FIELDED_QUERY)
