@@ -58,6 +58,24 @@ def test_search_endpoint_matches_searcher(served):
             assert math.isclose(h["score"], s, rel_tol=1e-12)
 
 
+def test_search_endpoint_highlight_param(served):
+    """&highlight=1 adds a per-hit snippet; ranks/scores unchanged."""
+    url, searcher, *_ = served
+    q, k = "join filter", 5
+    status, body = _get(
+        f"{url}/search?q={urllib.parse.quote(q)}&k={k}&highlight=1")
+    assert status == 200
+    exp = searcher.search(q, k=k)
+    assert [(h["docid"], h["conv_id"], h["turn_idx"]) for h in body["hits"]] \
+        == [(d, c, t) for d, c, t, _s in exp]
+    assert body["hits"], "query should hit"
+    for h in body["hits"]:
+        assert "<em>" in h["snippet"]
+    # default (no param) keeps the lean shape
+    status, body = _get(f"{url}/search?q={urllib.parse.quote(q)}&k={k}")
+    assert "snippet" not in body["hits"][0]
+
+
 def test_search_endpoint_prefix_param(served):
     """&prefix= composes the reference's S2 key-prefix filter with /search
     at the API tier — parity with searcher.search(conv_prefix=...)."""

@@ -32,6 +32,7 @@ from visionsearch_spark.index.store import IndexStore
 class LocalSearcher:
     def __init__(self, store: IndexStore, shards: list[int] | None = None):
         meta = store.read_meta()
+        self.store = store
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])
         self.shards = shards
@@ -251,6 +252,23 @@ class LocalSearcher:
             for d, s in zip(uniq, sums)
         ]
 
+    def search_highlighted(self, query: str, k: int = 5,
+                           threshold: float = 0.0,
+                           term_weights: dict[str, float] | None = None,
+                           conv_prefix: str | None = None,
+                           max_tokens: int = 30,
+                           ) -> list[tuple[int, str, int, float, str]]:
+        """search() plus a query-focused snippet per hit (last element),
+        resolved from the staged table with an O(k) point lookup
+        (query/highlight.highlight_hits)."""
+        from visionsearch_spark.query.highlight import highlight_hits
+
+        hits = self.search(query, k=k, threshold=threshold,
+                           term_weights=term_weights,
+                           conv_prefix=conv_prefix)
+        return highlight_hits(self.store, hits, query,
+                              max_tokens=max_tokens)
+
 
 class ShardedSearcher:
     """Scatter-gather router over per-shard-group LocalSearchers — the
@@ -276,6 +294,7 @@ class ShardedSearcher:
 
     def __init__(self, store: IndexStore, n_groups: int = 4):
         meta = store.read_meta()
+        self.store = store
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])
         shard_range = int(meta["shard_range"])
@@ -311,6 +330,20 @@ class ShardedSearcher:
         ]
         hits.sort(key=lambda h: (-h[3], h[0]))  # score desc, docid asc
         return hits[:k]
+
+    def search_highlighted(self, query: str, k: int = 5,
+                           threshold: float = 0.0,
+                           conv_prefix: str | None = None,
+                           max_tokens: int = 30,
+                           ) -> list[tuple[int, str, int, float, str]]:
+        """Scatter-gather search() plus per-hit snippets — ONE staged
+        point lookup for the merged k, not one per group."""
+        from visionsearch_spark.query.highlight import highlight_hits
+
+        hits = self.search(query, k=k, threshold=threshold,
+                           conv_prefix=conv_prefix)
+        return highlight_hits(self.store, hits, query,
+                              max_tokens=max_tokens)
 
     def search_docs(self, query: str, k: int = 5, threshold: float = 0.0
                     ) -> list[tuple[int, str, float]]:

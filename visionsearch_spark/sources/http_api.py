@@ -167,16 +167,31 @@ class ServingApp:
                     # reference S2 composed with search at the API tier:
                     # &prefix= restricts hits to conv_ids starting with it
                     prefix = (qs.get("prefix") or [None])[0]
+                    # &highlight=1 adds a query-focused snippet per hit
+                    # (query/highlight; one O(k) staged point lookup)
+                    want_hl = (qs.get("highlight") or ["0"])[0] not in (
+                        "0", "", "false")
                     t0 = time.perf_counter()
-                    hits = app.searcher.search(q, k=k, conv_prefix=prefix)
-                    self._json(200, {
-                        "query": q,
-                        "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
-                        "hits": [
+                    if want_hl:
+                        hits = app.searcher.search_highlighted(
+                            q, k=k, conv_prefix=prefix)
+                        rows = [
+                            {"docid": d, "conv_id": c, "turn_idx": t,
+                             "score": s, "snippet": sn}
+                            for d, c, t, s, sn in hits
+                        ]
+                    else:
+                        hits = app.searcher.search(q, k=k,
+                                                   conv_prefix=prefix)
+                        rows = [
                             {"docid": d, "conv_id": c, "turn_idx": t,
                              "score": s}
                             for d, c, t, s in hits
-                        ],
+                        ]
+                    self._json(200, {
+                        "query": q,
+                        "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                        "hits": rows,
                     })
                     return
                 if u.path.startswith("/files/") and app.static_dir:
