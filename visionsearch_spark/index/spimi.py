@@ -480,6 +480,13 @@ def write_segments(compacted, n_partitions: int, path: str) -> None:
         .mode("overwrite")
         .parquet(path)
     )
+    # per-file term Bloom sidecars (planner file pruning; index/bloom.py)
+    # — written by the same call so every segment file ever produced
+    # (build, compact, append) carries one; a crash between the two
+    # writes just leaves unpruned files (never wrong results)
+    from visionsearch_spark.index.bloom import write_segment_blooms
+
+    write_segment_blooms(compacted.sparkSession, path)
 
 
 def _compact_segments(frags: DataFrame, shard_range: int,

@@ -151,7 +151,13 @@ def matching_docids(
     if not all_of and not any_of:
         return empty
 
-    files = wand._segment_files(store)
+    # bloom-prune on the INCLUSION terms only: each docid's postings
+    # live wholly in one file, so an exclusion can only bite where some
+    # inclusion term matched in the SAME file — files holding none of
+    # all_of/any_of contribute an empty base regardless of none_of
+    files = wand._bloom_prune(
+        wand._segment_files(store), sorted(set(all_of) | set(any_of))
+    )
     if not files:
         return empty
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism

@@ -592,6 +592,38 @@ def _segment_files(store: IndexStore) -> list[tuple[int, str]]:
     return files
 
 
+# per-file bloom cache: files are immutable (LSM append-only), keyed
+# (path, mtime). Count-bounded; worst-case entry is CAP_BITS/8 bytes.
+_BLOOM_CACHE: dict[tuple[str, float], object] = {}
+_BLOOM_CACHE_MAX = 2048
+
+
+def _bloom_prune(files: list[tuple[int, str]],
+                 terms: list[str]) -> list[tuple[int, str]]:
+    """Drop files whose term Bloom sidecar proves they contain NONE of
+    the query terms (index/bloom.py — no false negatives, so pruning
+    never changes results; a file without a sidecar is kept). This is
+    what keeps tail-term queries at O(matching files) tasks on stores
+    with thousands of LSM files. VSS_QUERY_NO_BLOOM=1 disables (A/B)."""
+    import os
+
+    from visionsearch_spark.index import bloom
+
+    if os.environ.get("VSS_QUERY_NO_BLOOM") or not terms:
+        return files
+    kept = []
+    for sz, p in files:
+        key = (p, os.path.getmtime(p))
+        if key not in _BLOOM_CACHE:
+            while len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+                _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+            _BLOOM_CACHE[key] = bloom.load_bloom(p)
+        b = _BLOOM_CACHE[key]
+        if b is None or any(bloom.may_contain(*b, t) for t in terms):
+            kept.append((sz, p))
+    return kept
+
+
 def _lpt_bins(files: list[tuple[int, str]], n_bins: int) -> list[list[str]]:
     """Greedy LPT: files in size-descending order, each into the
     currently-lightest bin — balanced BYTES per bin even when Zipf-heavy
@@ -740,7 +772,7 @@ def _partial_scores(
     # same-session A/B measurement (jobs/scaling_bench.py honesty), never
     # a production switch
     if not _os.environ.get("VSS_QUERY_FORCE_SHUFFLE"):
-        files = _segment_files(store)
+        files = _bloom_prune(_segment_files(store), hit_terms)
         if not files:  # store with no committed segments: nothing to hit
             return None, []
         # LPT-pack files into byte-balanced bins, ONE BIN PER TASK: bin i
