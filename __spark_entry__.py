@@ -121,6 +121,38 @@ def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETED_QUERY = ("join filter stream", 20)
+
+
+def _bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over a store with every 13th doc tombstoned but NOT purged:
+    deleted docs are masked BEFORE the k-cut while df/N/avgdl keep their
+    as-built values (Lucene stale-stats liveness; index/deletes.py) —
+    identical scores to ranking with the survivor allow-set."""
+    from visionsearch_spark.corpus import get_documents_deleted_index
+
+    qtext, k = DELETED_QUERY
+    store = get_documents_deleted_index(spark, sf_dir)
+    res = batch_topk(spark, store, [(0, qtext, k)])
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_after_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same store after the purge compaction folded the tombstones:
+    postings physically dropped, df/N/avgdl recomputed over survivors —
+    scores identical to an index that never contained the deleted docs."""
+    from visionsearch_spark.corpus import get_documents_purged_index
+
+    qtext, k = DELETED_QUERY
+    store = get_documents_purged_index(spark, sf_dir)
+    res = batch_topk(spark, store, [(0, qtext, k)])
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 PHRASE_QUERY = ("table scan", 20)
 BOOLEAN_QUERY = (["join"], ["filter", "stream"], ["dup"], 20)
 
@@ -890,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "bm25_batch": _bm25_batch,
             "bm25_filtered": _bm25_filtered,
+            "bm25_after_delete": _bm25_after_delete,
+            "bm25_after_purge": _bm25_after_purge,
             "bm25_phrase": _bm25_phrase,
             "bm25_proximity": _bm25_proximity,
             "bm25_boolean": _bm25_boolean,
@@ -1432,7 +1466,8 @@ FROM (
 
 def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
                  doc_pred: str | None = None,
-                 q_sql: str | None = None) -> str:
+                 q_sql: str | None = None,
+                 base_pred: str | None = None) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
     the driver-side twin of visionsearch_spark.oracle. doc_pred restricts
     which docs are RANKED (filter-the-results semantics); df/N/avgdl stay
@@ -1440,8 +1475,15 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
     given, REPLACES the literal VALUES term list with a computed
     (query_id, term, k) select — the multi-term rewrites (prefix /
     wildcard / fuzzy) derive their term set from the corpus vocabulary
-    the same way the engine derives it from the term dictionary."""
+    the same way the engine derives it from the term dictionary.
+
+    base_pred restricts the CORPUS itself — docs failing it contribute
+    to NOTHING (df, N, avgdl, candidates), mirroring a store whose
+    deletes were folded by the purge compaction; doc_pred by contrast
+    only restricts who is ranked (stale-stats deletes / filters)."""
     toks = duckdb_tokens("text")
+    base = (f"(SELECT * FROM documents WHERE {base_pred}) base_docs"
+            if base_pred else "documents")
     qrows = q_sql if q_sql is not None else "VALUES " + ", ".join(
         f"({qid}, '{t}', {kk})"
         for qid, text, kk in batch
@@ -1453,18 +1495,18 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
         else "doc_id, round(score, 6) AS score"
     )
     flt = (
-        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_pred})"
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM {base} WHERE {doc_pred})"
         if doc_pred else ""
     )
     return f"""
 WITH q(query_id, term, k) AS ({qrows}),
 toks AS (
-  SELECT doc_id, unnest({toks}) AS term FROM documents
+  SELECT doc_id, unnest({toks}) AS term FROM {base}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n_docs,
-         (SELECT avg(len({toks})) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM {base}) AS n_docs,
+         (SELECT avg(len({toks})) FROM {base}) AS avgdl
 ),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
@@ -1685,6 +1727,18 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_filtered"] = _bm25_oracle(
         [(0, FILTERED_QUERY[0], FILTERED_QUERY[1])], with_qid=False,
         doc_pred=f"source LIKE '{FILTERED_QUERY[2]}%'",
+    )
+    # tombstoned-not-purged: stats global, dead docs merely unrankable
+    from visionsearch_spark.corpus import DELETE_MOD
+
+    sql["bm25_after_delete"] = _bm25_oracle(
+        [(0, DELETED_QUERY[0], DELETED_QUERY[1])], with_qid=False,
+        doc_pred=f"doc_id % {DELETE_MOD} <> 0",
+    )
+    # purge-folded: dead docs contribute to nothing (df, N, avgdl)
+    sql["bm25_after_purge"] = _bm25_oracle(
+        [(0, DELETED_QUERY[0], DELETED_QUERY[1])], with_qid=False,
+        base_pred=f"doc_id % {DELETE_MOD} <> 0",
     )
     # phrase containment as a doc predicate: the bigram list of the
     # analyzed tokens contains the phrase gram (mirror of

@@ -52,6 +52,69 @@ def get_documents_index(spark: SparkSession, sf_dir: str,
     return build_index(tx, root, n_partitions=n_partitions)
 
 
+# deterministic delete set for the delete/purge contract rows: every
+# 13th document (shared with the DuckDB oracles via `doc_id % 13 = 0`)
+DELETE_MOD = 13
+
+
+def _deleted_conv_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.filter(F.col("doc_id") % DELETE_MOD == 0).select(
+        F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id")
+    )
+
+
+def get_documents_deleted_index(spark: SparkSession, sf_dir: str,
+                                n_partitions: int = 8) -> IndexStore:
+    """Documents index with every DELETE_MOD-th doc tombstoned but NOT
+    compacted: queries mask at runtime under stale (as-built) stats —
+    index/deletes.py semantics between delete and purge."""
+    from visionsearch_spark.index.deletes import delete_convs
+
+    key = hashlib.sha1(
+        f"{CACHE_VERSION}-tomb:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_idx_{key}")
+    store = IndexStore(root)
+    if (os.path.exists(store.meta_path)
+            and store.read_meta().get("phase") == "built"
+            and store.read_meta().get("tombstone_dirs")):
+        return store
+    if not (os.path.exists(store.meta_path)
+            and store.read_meta().get("phase") == "built"):
+        build_index(documents_as_transcripts(spark, sf_dir), root,
+                    n_partitions=n_partitions)
+    delete_convs(spark, store, _deleted_conv_ids(spark, sf_dir))
+    return store
+
+
+def get_documents_purged_index(spark: SparkSession, sf_dir: str,
+                               n_partitions: int = 8) -> IndexStore:
+    """Documents index with the DELETE_MOD set deleted AND folded by a
+    purge compaction: postings gone, stats recomputed over survivors."""
+    from visionsearch_spark.index.deletes import delete_convs
+    from visionsearch_spark.index.spimi import compact_store
+
+    key = hashlib.sha1(
+        f"{CACHE_VERSION}-purged:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_idx_{key}")
+    store = IndexStore(root)
+    if os.path.exists(store.meta_path):
+        meta = store.read_meta()
+        if (meta.get("phase") == "built"
+                and meta.get("applied_tombstone_dirs")
+                and not meta.get("tombstone_dirs")):
+            return store
+    if not (os.path.exists(store.meta_path)
+            and store.read_meta().get("phase") == "built"):
+        build_index(documents_as_transcripts(spark, sf_dir), root,
+                    n_partitions=n_partitions)
+    if not store.read_meta().get("tombstone_dirs"):
+        delete_convs(spark, store, _deleted_conv_ids(spark, sf_dir))
+    return compact_store(spark, root)
+
+
 def documents_as_unit_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-unit fan-out of the documents corpus: one doc -> N units,
     unit key = (conv_id='doc-%010d', turn_idx=1-based split ordinal).

@@ -378,6 +378,113 @@ def spimi_pending(spark: SparkSession, store: IndexStore, shard_range: int,
     return True
 
 
+def _mask_fragments(frags: DataFrame, dead: DataFrame,
+                    shard_range: int,
+                    n_tasks: int | None = None) -> DataFrame:
+    """Drop tombstoned docids from fragment blocks (the purge half of
+    index/deletes.py — compaction folds deletes into the new segments).
+
+    The dead set rides the SAME shard partitioning as the blocks it
+    edits, packed per shard with the posting codec (wand._sideband_rows
+    — never an unbounded broadcast), and sorts FIRST within each task
+    ("\\x00deny" < every analyzer term), so the kernel sees the complete
+    deny set before any block. Blocks whose [min_docid, max_docid] range
+    contains no dead docid — the overwhelming majority under realistic
+    delete rates — pass through with a vectorized binary-search check
+    and ZERO decode/encode work; only intersecting blocks re-encode.
+    Emptied blocks vanish (term df then falls out of the post-mask
+    groupBy naturally)."""
+    from visionsearch_spark.index.codec import (
+        decode_docids,
+        decode_varint,
+        encode_docids,
+        encode_varint,
+    )
+    from visionsearch_spark.query.wand import DENY_TERM, _sideband_rows
+
+    in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
+               "tfs_bin", "dls_bin", "max_tf", "min_dl"]
+    side = _sideband_rows(dead.select("docid"), shard_range, DENY_TERM) \
+        .select(
+            "term",
+            F.lit(None).cast("long").alias("min_docid"),
+            F.lit(None).cast("long").alias("max_docid"),
+            "n", "docids_bin", "tfs_bin", "dls_bin", "max_tf", "min_dl",
+            "shard",
+        )
+    tagged = frags.select(
+        *in_cols,
+        (F.col("min_docid") / F.lit(shard_range)).cast("long").alias("shard"),
+    ).unionByName(side)
+
+    def mask_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        deny_parts: list[np.ndarray] = []
+        deny: np.ndarray | None = None
+        for batch in batches:
+            pdf = batch.to_pandas()
+            is_deny = (pdf["term"] == DENY_TERM).to_numpy()
+            if is_deny.any():
+                for row in pdf[is_deny].itertuples(index=False):
+                    deny_parts.append(decode_docids(row.docids_bin, row.n))
+                pdf = pdf[~is_deny]
+            if not len(pdf):
+                continue
+            if deny is None:  # sort order: all deny rows precede blocks
+                deny = (np.unique(np.concatenate(deny_parts))
+                        if deny_parts else np.empty(0, dtype=np.int64))
+            mins = pdf["min_docid"].to_numpy(dtype=np.int64)
+            maxs = pdf["max_docid"].to_numpy(dtype=np.int64)
+            if deny.size:
+                lo = np.searchsorted(deny, mins)
+                hit = (lo < deny.size) & (
+                    deny[np.minimum(lo, deny.size - 1)] <= maxs
+                )
+            else:
+                hit = np.zeros(len(pdf), dtype=bool)
+            clean = pdf[~hit][in_cols]
+            rows: list[tuple] = []
+            for row in pdf[hit].itertuples(index=False):
+                d = decode_docids(row.docids_bin, row.n)
+                pos = np.minimum(np.searchsorted(deny, d), deny.size - 1)
+                keep = deny[pos] != d
+                if not keep.any():
+                    continue  # block fully deleted
+                if keep.all():
+                    rows.append(tuple(getattr(row, c) for c in in_cols))
+                    continue
+                d2 = d[keep]
+                tf = decode_varint(row.tfs_bin, row.n)[keep]
+                dl = decode_varint(row.dls_bin, row.n)[keep]
+                rows.append((
+                    row.term, int(d2[0]), int(d2[-1]), int(d2.size),
+                    encode_docids(d2),
+                    encode_varint(tf.astype(np.uint64)),
+                    encode_varint(dl.astype(np.uint64)),
+                    int(tf.max()), int(dl.min()),
+                ))
+            tables = []
+            if len(clean):
+                tables.append(pa.Table.from_pandas(
+                    clean.reset_index(drop=True),
+                    schema=_FRAGMENT_PA_SCHEMA, preserve_index=False,
+                ))
+            if rows:
+                tables.append(pa.Table.from_arrays(
+                    [pa.array([r[i] for r in rows], type=f.type)
+                     for i, f in enumerate(_FRAGMENT_PA_SCHEMA)],
+                    schema=_FRAGMENT_PA_SCHEMA,
+                ))
+            for tbl in tables:
+                yield from tbl.to_batches(max_chunksize=65536)
+
+    n_tasks = n_tasks or frags.sparkSession.sparkContext.defaultParallelism
+    return (
+        tagged.repartition(n_tasks, "shard")
+        .sortWithinPartitions("term", "min_docid")
+        .mapInArrow(mask_runs, SEGMENT_SCHEMA_DDL)
+    )
+
+
 def compact_store(spark: SparkSession, root: str,
                   n_partitions: int | None = None) -> IndexStore:
     """Full compaction (the LSM maintenance job): merge ALL fragments into
@@ -421,6 +528,27 @@ def compact_store(spark: SparkSession, root: str,
         .option("pathGlobFilter", "fragment-*.parquet")
         .parquet(store.fragments_dir)
     )
+    # FOLD TOMBSTONES (index/deletes.py): fragments are immutable and
+    # still hold every deleted doc's postings, so EVERY compaction must
+    # mask with the union of pending + applied tombstones — pending ones
+    # leave the query-time deny set at this flip (they're now physically
+    # absent from the live segments and excluded from stats), applied
+    # ones stay recorded forever to keep future compactions honest.
+    from visionsearch_spark.index.deletes import (
+        all_tombstones,
+        live_corpus_stats,
+    )
+
+    dead = all_tombstones(spark, store)
+    if dead is not None:
+        frags = _mask_fragments(frags, dead, int(meta["shard_range"]))
+        n_docs, sum_dl = live_corpus_stats(spark, store,
+                                           include_pending=False)
+        meta.update({
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        })
     next_ep = int(meta.get("epoch") or 0) + 1
     frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
         "overwrite"
@@ -437,6 +565,12 @@ def compact_store(spark: SparkSession, root: str,
         "retired_dirs": prev_live,
         "phase": "built",
     })
+    if meta.get("tombstone_dirs"):
+        meta["applied_tombstone_dirs"] = (
+            (meta.get("applied_tombstone_dirs") or [])
+            + meta["tombstone_dirs"]
+        )
+        meta["tombstone_dirs"] = []
     store.write_meta(meta)
     store.gc_dirs()
     from visionsearch_spark.query.wand import invalidate_term_df_memo

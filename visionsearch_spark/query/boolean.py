@@ -167,10 +167,23 @@ def matching_docids(
         spark, [(rkeys[i], b) for i, b in enumerate(bins)],
         "route_key long, paths array<string>", ["route_key", "paths"],
     )
-    return (
+    matched = (
         paths_df.repartition(len(bins), "route_key")
         .mapInArrow(_make_match_fn(all_of, any_of, none_of), "docid long")
     )
+    # tombstoned docs are not members (index/deletes.py): counts/facets
+    # built on this set must not see them. The deny set is O(deleted)
+    # and AQE broadcasts it when small; ranking paths downstream mask
+    # again in-kernel, which is idempotent.
+    tomb = meta.get("tombstone_dirs") or []
+    if tomb:
+        import os as _os
+
+        dead = spark.read.schema("docid long, dl long").parquet(
+            *[_os.path.join(store.root, d) for d in tomb]
+        ).select("docid")
+        matched = matched.join(dead, "docid", "left_anti")
+    return matched
 
 
 def boolean_topk(

@@ -77,6 +77,27 @@ class LocalSearcher:
 
         self._bounds: np.ndarray | None = None  # derived lazily
 
+        # pending tombstones (index/deletes.py): loaded once per process,
+        # masked in _scored before every cut — the serving twin of the
+        # wand kernel's deny sideband. Restricted to this searcher's
+        # shards (a shard-group process holds only its slice).
+        self._dead: np.ndarray | None = None
+        from visionsearch_spark.index.deletes import tombstone_paths
+
+        tpaths = tombstone_paths(store)
+        if tpaths:
+            tt = pads.dataset(
+                [pads.dataset(p) for p in tpaths]
+            ).to_table(columns=["docid"])
+            dead = np.asarray(tt.column("docid"), dtype=np.int64)
+            if shards is not None and dead.size:
+                shard_range = int(meta["shard_range"])
+                keep = np.isin(dead // shard_range,
+                               np.asarray(shards, dtype=np.int64))
+                dead = dead[keep]
+            if dead.size:
+                self._dead = np.unique(dead)
+
     def _get_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(docids, tf_weight) for a term — decoded on first use, cached."""
         p = self._decoded.get(term)
@@ -103,6 +124,25 @@ class LocalSearcher:
     def df(self, term: str) -> int:
         idxs = self._blocks.get(term)
         return 0 if idxs is None else int(sum(self._ns[i] for i in idxs))
+
+    def mask_convs(self, conv_ids: list[str]) -> int:
+        """Fold freshly tombstoned conversations into the in-process
+        deny set — the serving DELETE endpoint's immediate-visibility
+        hook (the on-disk tombstone dir covers every FUTURE searcher;
+        this covers the running one without a reload). Returns the
+        number of newly masked unit docids."""
+        if not conv_ids:
+            return 0
+        hits = np.flatnonzero(np.isin(self._conv, list(set(conv_ids))))
+        if not hits.size:
+            return 0
+        before = 0 if self._dead is None else self._dead.size
+        self._dead = (
+            np.unique(hits.astype(np.int64)) if self._dead is None
+            else np.unique(np.concatenate([self._dead,
+                                           hits.astype(np.int64)]))
+        )
+        return int(self._dead.size - before)
 
     def search_docs(self, query: str, k: int = 5, threshold: float = 0.0,
                     term_weights: dict[str, float] | None = None
@@ -198,6 +238,11 @@ class LocalSearcher:
         # N is bounded per searcher (one docid-shard group per process).
         scores = np.bincount(d, weights=c, minlength=self.n_docs)
         uniq = np.flatnonzero(scores > threshold)
+        if self._dead is not None and uniq.size:  # mask BEFORE any cut
+            pos = np.minimum(
+                np.searchsorted(self._dead, uniq), self._dead.size - 1
+            )
+            uniq = uniq[self._dead[pos] != uniq]
         return uniq, scores[uniq]
 
     @staticmethod
@@ -307,6 +352,12 @@ class ShardedSearcher:
 
     def df(self, term: str) -> int:
         return sum(s.df(term) for s in self.searchers)
+
+    def mask_convs(self, conv_ids: list[str]) -> int:
+        """Fan the serving-tier delete out to every shard group (each
+        group masks only its own docids — np.isin finds nothing in the
+        others)."""
+        return sum(s.mask_convs(conv_ids) for s in self.searchers)
 
     def _weights(self, query: str) -> dict[str, float]:
         qterms = sorted(set(tokenize(query)))

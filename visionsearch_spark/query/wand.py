@@ -66,6 +66,10 @@ def _local_df(spark: SparkSession, rows: list[tuple], ddl: str,
 # broadcast of unbounded sets.
 ALLOW_TERM = "\x00allow"
 BOUNDS_TERM = "\x00bounds"
+# tombstoned docids (index/deletes.py): masked before every k-cut.
+# Unlike ALLOW, absence of deny rows in a task is safe — it means "no
+# deleted docs in these shards", not "everything deleted".
+DENY_TERM = "\x00deny"
 
 
 def _sideband_rows(docids_df: DataFrame, shard_range: int, tag: str) -> DataFrame:
@@ -121,7 +125,8 @@ def _topk_keep_ties(docids: np.ndarray, scores: np.ndarray, k: int
 
 def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                    avgdl: float, threshold: float,
-                   has_filter: bool = False, has_bounds: bool = False):
+                   has_filter: bool = False, has_bounds: bool = False,
+                   has_deny: bool = False):
     """qplans: [(query_id, [(term, idf, term_rank)], k)]; term_rank is the
     query-term's position in sorted unique-term order (summation order).
 
@@ -154,6 +159,7 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
         blocks: dict[str, list[tuple]] = {}
         allow_parts: list[np.ndarray] = []
         bounds_parts: list[np.ndarray] = []
+        deny_parts: list[np.ndarray] = []
         for batch in batches:
             pdf = batch.to_pandas()
             for row in pdf.itertuples(index=False):
@@ -161,6 +167,8 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                     allow_parts.append(_dec(row.docids_bin, row.n))
                 elif row.term == BOUNDS_TERM:
                     bounds_parts.append(_dec(row.docids_bin, row.n))
+                elif row.term == DENY_TERM:
+                    deny_parts.append(_dec(row.docids_bin, row.n))
                 elif row.term in by_term:
                     blocks.setdefault(row.term, []).append(
                         (row.n, row.docids_bin, row.tfs_bin, row.dls_bin,
@@ -182,7 +190,14 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                 # loudly rather than emit un-collapsed units
                 raise RuntimeError("collapse requested but no bounds rows")
             bounds = np.unique(np.concatenate(bounds_parts))
-        has_sideband = has_filter or has_bounds
+        # deny differs from allow: a task whose shards hold no dead docs
+        # legitimately receives zero rows (nothing to mask) — per-task
+        # presence IS the constraint, so no plan-flag trap here. The
+        # plan-level has_deny still gates the single-term block-max path
+        # (masking must precede the k-cut).
+        deny = (np.unique(np.concatenate(deny_parts))
+                if deny_parts else None)
+        has_sideband = has_filter or has_bounds or deny is not None
         out_qid: list[np.ndarray] = []
         out_docid: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
@@ -237,6 +252,11 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
             starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
             uniq = d[starts]
             sums = np.add.reduceat(c, starts)
+            if deny is not None and uniq.size:  # tombstones: mask BEFORE cut
+                pos = np.searchsorted(deny, uniq)
+                pos = np.minimum(pos, deny.size - 1)
+                m = deny[pos] != uniq
+                uniq, sums = uniq[m], sums[m]
             if allow is not None:  # metadata filter: mask BEFORE the k-cut
                 if allow.size:
                     pos = np.searchsorted(allow, uniq)
@@ -649,7 +669,8 @@ def _lpt_bins(files: list[tuple[int, str]], n_bins: int) -> list[list[str]]:
 def _make_file_score_fn(qplans, avgdl: float, threshold: float,
                         hit_terms: list[str],
                         has_filter: bool = False,
-                        has_bounds: bool = False):
+                        has_bounds: bool = False,
+                        has_deny: bool = False):
     """File-aligned kernel: each task receives segment FILE PATHS, reads
     them directly (pyarrow dataset; term-IN filter prunes row groups off
     the same min/max stats the Spark scan would use; single-threaded —
@@ -664,7 +685,8 @@ def _make_file_score_fn(qplans, avgdl: float, threshold: float,
     prologue batch in the segment schema, so the masking/collapse logic
     is byte-identical to the shuffle path's."""
     inner = _make_score_fn(qplans, avgdl, threshold,
-                           has_filter=has_filter, has_bounds=has_bounds)
+                           has_filter=has_filter, has_bounds=has_bounds,
+                           has_deny=has_deny)
     cols = ["term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin",
             "max_tf", "min_dl"]
 
@@ -765,6 +787,18 @@ def _partial_scores(
         return None, []
     hit_terms = sorted({t for _q, ts, _k in qplans for t, _w, _r in ts})
 
+    # PENDING tombstones (index/deletes.py) are a plan-level deny set —
+    # loaded from the SAME meta snapshot as the stats above, so a
+    # concurrent delete/compact flip can't mix masked segments with an
+    # un-matching deny list. Stores that never delete pay nothing.
+    docid_deny = None
+    tomb_dirs = meta.get("tombstone_dirs") or []
+    if tomb_dirs:
+        import os as _os2
+        docid_deny = spark.read.schema("docid long, dl long").parquet(
+            *[_os2.path.join(store.root, d) for d in tomb_dirs]
+        ).select("docid")
+
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
     import os as _os
 
@@ -787,7 +821,8 @@ def _partial_scores(
         rkeys = _route_keys(len(bins))
         has_filter = docid_filter is not None
         has_bounds = collapse_bounds is not None
-        if not has_filter and not has_bounds:
+        has_deny = docid_deny is not None
+        if not has_filter and not has_bounds and not has_deny:
             paths_df = _local_df(
                 spark, [(rkeys[i], b) for i, b in enumerate(bins)],
                 "route_key long, paths array<string>",
@@ -869,6 +904,10 @@ def _partial_scores(
             parts.append(routed(
                 _sideband_rows(docid_filter, shard_range, ALLOW_TERM)
             ))
+        if has_deny:
+            parts.append(routed(
+                _sideband_rows(docid_deny, shard_range, DENY_TERM)
+            ))
         if has_bounds:
             parts.append(routed(
                 _sideband_rows(collapse_bounds, shard_range, BOUNDS_TERM)
@@ -883,7 +922,8 @@ def _partial_scores(
         partials = seg.repartition(len(bins), "route_key").mapInArrow(
             _make_file_score_fn(qplans, avgdl, threshold, hit_terms,
                                 has_filter=has_filter,
-                                has_bounds=has_bounds),
+                                has_bounds=has_bounds,
+                                has_deny=has_deny),
             "query_id long, docid long, score double",
         )
         return partials, qplans
@@ -897,6 +937,10 @@ def _partial_scores(
         seg = seg.unionByName(
             _sideband_rows(docid_filter, shard_range, ALLOW_TERM)
         )
+    if docid_deny is not None:
+        seg = seg.unionByName(
+            _sideband_rows(docid_deny, shard_range, DENY_TERM)
+        )
     if collapse_bounds is not None:
         seg = seg.unionByName(
             _sideband_rows(collapse_bounds, shard_range, BOUNDS_TERM)
@@ -909,6 +953,7 @@ def _partial_scores(
             qplans, avgdl, threshold,
             has_filter=docid_filter is not None,
             has_bounds=collapse_bounds is not None,
+            has_deny=docid_deny is not None,
         ),
         "query_id long, docid long, score double",
     )

@@ -218,6 +218,38 @@ class ServingApp:
 
             def do_POST(self):
                 u = urllib.parse.urlparse(self.path)
+                if u.path == "/delete":
+                    # tombstone whole conversations (index/deletes.py):
+                    # the driver-side O(delta) write makes the delete
+                    # durable for every future reader; mask_convs makes
+                    # it visible to THIS searcher immediately.
+                    if not self._authed():
+                        return
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(max(n, 0))
+                                          or b"{}")
+                        conv_ids = body["conv_ids"]
+                        if (not isinstance(conv_ids, list) or not conv_ids
+                                or not all(isinstance(c, str)
+                                           for c in conv_ids)):
+                            raise ValueError(
+                                "conv_ids must be a non-empty string array"
+                            )
+                    except (ValueError, KeyError, TypeError) as e:
+                        self._json(400, {"error": str(e)})
+                        return
+                    from visionsearch_spark.index.deletes import (
+                        delete_convs_local,
+                    )
+
+                    with app._seq_lock:  # serialize tombstone-dir flips
+                        n_new = delete_convs_local(
+                            app.searcher.store, conv_ids
+                        )
+                    app.searcher.mask_convs(conv_ids)
+                    self._json(200, {"deleted_units": n_new})
+                    return
                 if u.path != "/upload":
                     self._json(404, {"error": "not found"})
                     return

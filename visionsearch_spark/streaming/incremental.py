@@ -209,15 +209,20 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
     staged table remains the source of truth either way."""
     from visionsearch_spark.index.spimi import _compact_segments, spimi_pending
 
-    sdf = spark.read.parquet(store.staged_path)
     if delta_stats is not None and meta.get("sum_dl") is not None:
+        # meta stats already exclude APPLIED tombstones (purge fold,
+        # spimi.compact_store) — the increment keeps that property
         n_docs = int(meta["n_docs"]) + delta_stats[0]
         sum_dl = int(meta["sum_dl"]) + delta_stats[1]
     else:
-        stats = sdf.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-        ).collect()[0]
-        n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
+        # full-scan fallback: staged keeps purged rows (append-only
+        # source of truth), so subtract applied tombstones; PENDING
+        # ones still count — stale-stats rule (deletes move stats only
+        # at compaction, index/deletes.py)
+        from visionsearch_spark.index.deletes import live_corpus_stats
+
+        n_docs, sum_dl = live_corpus_stats(spark, store,
+                                           include_pending=True)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     spimi_pending(spark, store, int(meta["shard_range"]), n_partitions)
