@@ -121,6 +121,28 @@ def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGE_QUERY = ("join filter", 10)
+
+
+def _bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (search_after): run page 1, feed its last row's
+    (score, conv_id, turn_idx) back as the cursor, return page 2 — rows
+    k+1..2k of the total order. The kernel ceilings scores at the cursor
+    before its per-partition cut (wand.py cursors), so page depth never
+    inflates per-task row counts the way offset paging would."""
+    qtext, k = PAGE_QUERY
+    store = get_documents_index(spark, sf_dir)
+    page1 = batch_topk(spark, store, [(0, qtext, k)]).collect()
+    last = max(page1, key=lambda r: r["rank"])
+    res = batch_topk(
+        spark, store, [(0, qtext, k)],
+        search_after={0: (last["score"], last["conv_id"], last["turn_idx"])},
+    )
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 DELETED_QUERY = ("join filter stream", 20)
 
 
@@ -922,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "bm25_batch": _bm25_batch,
             "bm25_filtered": _bm25_filtered,
+            "bm25_page2": _bm25_page2,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
             "bm25_phrase": _bm25_phrase,
@@ -1467,7 +1490,8 @@ FROM (
 def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
                  doc_pred: str | None = None,
                  q_sql: str | None = None,
-                 base_pred: str | None = None) -> str:
+                 base_pred: str | None = None,
+                 offset: int = 0) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
     the driver-side twin of visionsearch_spark.oracle. doc_pred restricts
     which docs are RANKED (filter-the-results semantics); df/N/avgdl stay
@@ -1527,7 +1551,7 @@ ranked AS (
       PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
 )
-SELECT {proj} FROM ranked WHERE rnk <= k
+SELECT {proj} FROM ranked WHERE rnk > {offset} AND rnk <= {offset} + k
 """
 
 
@@ -1727,6 +1751,11 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_filtered"] = _bm25_oracle(
         [(0, FILTERED_QUERY[0], FILTERED_QUERY[1])], with_qid=False,
         doc_pred=f"source LIKE '{FILTERED_QUERY[2]}%'",
+    )
+    # cursor pagination: page 2 == rows k+1..2k of the exhaustive rank
+    sql["bm25_page2"] = _bm25_oracle(
+        [(0, PAGE_QUERY[0], PAGE_QUERY[1])], with_qid=False,
+        offset=PAGE_QUERY[1],
     )
     # tombstoned-not-purged: stats global, dead docs merely unrankable
     from visionsearch_spark.corpus import DELETE_MOD

@@ -58,6 +58,27 @@ def test_search_endpoint_matches_searcher(served):
             assert math.isclose(h["score"], s, rel_tol=1e-12)
 
 
+def test_search_endpoint_pagination(served):
+    """Cursor paging over HTTP: echo next_after back as after_score/
+    after_docid; two pages of k equal one page of 2k, and the float
+    cursor survives the JSON round trip exactly."""
+    url, searcher, *_ = served
+    q, k = "join filter", 4
+    status, p1 = _get(f"{url}/search?q={urllib.parse.quote(q)}&k={k}")
+    assert status == 200 and len(p1["hits"]) == k
+    na = p1["next_after"]
+    assert na == {"score": p1["hits"][-1]["score"],
+                  "docid": p1["hits"][-1]["docid"]}
+    status, p2 = _get(
+        f"{url}/search?q={urllib.parse.quote(q)}&k={k}"
+        f"&after_score={na['score']!r}&after_docid={na['docid']}"
+    )
+    assert status == 200
+    exp = searcher.search(q, k=2 * k)
+    got = [(h["docid"], h["score"]) for h in p1["hits"] + p2["hits"]]
+    assert got == [(d, s) for d, _c, _t, s in exp]
+
+
 def test_search_endpoint_highlight_param(served):
     """&highlight=1 adds a per-hit snippet; ranks/scores unchanged."""
     url, searcher, *_ = served

@@ -276,18 +276,26 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 5, threshold: float = 0.0,
                term_weights: dict[str, float] | None = None,
-               conv_prefix: str | None = None
+               conv_prefix: str | None = None,
+               search_after: tuple[float, int] | None = None
                ) -> list[tuple[int, str, int, float]]:
         """[(docid, conv_id, turn_idx, score)] — rank-identical with the
         oracle: canonical (docid, term-rank) accumulation order, (score
         desc, docid asc) tie-break, OOV -> [] (never padded hits).
-        conv_prefix: serve only docs whose conv_id starts with it."""
+        conv_prefix: serve only docs whose conv_id starts with it.
+        search_after: (score, docid) of the previous page's last hit —
+        cursor pagination in this searcher's own total order; scores are
+        deterministic float64, so the strict-after test is exact."""
         scored = self._scored(query, threshold, term_weights)
         if scored is None:
             return []
         uniq, sums = scored
         if conv_prefix is not None:
             m = self._prefix_mask(uniq, conv_prefix)
+            uniq, sums = uniq[m], sums[m]
+        if search_after is not None and uniq.size:
+            cs, cd = search_after
+            m = (sums < cs) | ((sums == cs) & (uniq > cd))
             uniq, sums = uniq[m], sums[m]
         if not uniq.size:
             return []
@@ -302,6 +310,7 @@ class LocalSearcher:
                            term_weights: dict[str, float] | None = None,
                            conv_prefix: str | None = None,
                            max_tokens: int = 30,
+                           search_after: tuple[float, int] | None = None,
                            ) -> list[tuple[int, str, int, float, str]]:
         """search() plus a query-focused snippet per hit (last element),
         resolved from the staged table with an O(k) point lookup
@@ -310,7 +319,8 @@ class LocalSearcher:
 
         hits = self.search(query, k=k, threshold=threshold,
                            term_weights=term_weights,
-                           conv_prefix=conv_prefix)
+                           conv_prefix=conv_prefix,
+                           search_after=search_after)
         return highlight_hits(self.store, hits, query,
                               max_tokens=max_tokens)
 
@@ -369,15 +379,21 @@ class ShardedSearcher:
         return out
 
     def search(self, query: str, k: int = 5, threshold: float = 0.0,
-               conv_prefix: str | None = None
+               conv_prefix: str | None = None,
+               search_after: tuple[float, int] | None = None
                ) -> list[tuple[int, str, int, float]]:
+        # pagination composes with scatter-gather for free: each group
+        # applies the cursor before its local cut (so per-group top-k of
+        # the strictly-after set is a superset of the global page), and
+        # the merge re-cuts in the same total order
         w = self._weights(query)
         if not w:
             return []
         hits = [
             h for s in self.searchers
             for h in s.search(query, k=k, threshold=threshold,
-                              term_weights=w, conv_prefix=conv_prefix)
+                              term_weights=w, conv_prefix=conv_prefix,
+                              search_after=search_after)
         ]
         hits.sort(key=lambda h: (-h[3], h[0]))  # score desc, docid asc
         return hits[:k]
@@ -386,13 +402,15 @@ class ShardedSearcher:
                            threshold: float = 0.0,
                            conv_prefix: str | None = None,
                            max_tokens: int = 30,
+                           search_after: tuple[float, int] | None = None,
                            ) -> list[tuple[int, str, int, float, str]]:
         """Scatter-gather search() plus per-hit snippets — ONE staged
         point lookup for the merged k, not one per group."""
         from visionsearch_spark.query.highlight import highlight_hits
 
         hits = self.search(query, k=k, threshold=threshold,
-                           conv_prefix=conv_prefix)
+                           conv_prefix=conv_prefix,
+                           search_after=search_after)
         return highlight_hits(self.store, hits, query,
                               max_tokens=max_tokens)
 

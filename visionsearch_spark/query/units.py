@@ -88,11 +88,20 @@ def unit_batch_topk(
     queries: list[tuple[int, str, int]],
     threshold: float = 0.0,
     n_tasks: int | None = None,
+    search_after: dict[int, tuple[float, str]] | None = None,
 ) -> DataFrame:
-    """Top-k DOCUMENTS by max unit BM25 score over a unit-level store."""
+    """Top-k DOCUMENTS by max unit BM25 score over a unit-level store.
+    search_after: per-query (score, conv_id) cursor from the previous
+    page's last row. The doc-level ranking holds each conv at most once,
+    so the parent key alone identifies the cursor row; the turn
+    component of wand's three-part cursor is pinned to INT_MAX to
+    exclude that row itself."""
     res = batch_topk(
         spark, store, queries, threshold=threshold, n_tasks=n_tasks,
         collapse_bounds=doc_bounds(spark, store),
+        search_after={qid: (s, c, (1 << 31) - 1)
+                      for qid, (s, c) in search_after.items()}
+        if search_after else None,
     )
     # result docid/conv_id/turn_idx already describe the parent's first
     # unit; the parent key is conv_id

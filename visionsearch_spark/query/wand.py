@@ -126,23 +126,36 @@ def _topk_keep_ties(docids: np.ndarray, scores: np.ndarray, k: int
 def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                    avgdl: float, threshold: float,
                    has_filter: bool = False, has_bounds: bool = False,
-                   has_deny: bool = False):
+                   has_deny: bool = False,
+                   cursors: dict[int, float] | None = None):
     """qplans: [(query_id, [(term, idf, term_rank)], k)]; term_rank is the
     query-term's position in sorted unique-term order (summation order).
 
     has_filter/has_bounds are PLAN-level flags: a task whose shards hold
     no allowed docids receives zero allow sideband rows, which must mean
     'allowed set empty here' — inferring the mode from row presence would
-    silently disable the filter in exactly those tasks."""
+    silently disable the filter in exactly those tasks.
+
+    cursors: per-query search_after score ceiling (pagination). The cut
+    for a cursored query keeps ALL rows scoring exactly the cursor score
+    (the tie run straddles the page boundary; only the merge — which has
+    the conv key — can split it) plus the keep-ties top-k of rows scoring
+    strictly below. Scores are deterministic float64 (canonical-order
+    reduceat), so the equality test is exact against a cursor taken from
+    a previous page's full-precision result."""
     from visionsearch_spark.bm25 import B, K1
     from visionsearch_spark.index.codec import decode_docids, decode_varint
 
+    cursors = cursors or {}
     by_term: dict[str, list[tuple[int, float, int]]] = {}
     for qid, terms, _k in qplans:
         for t, w, r in terms:
             by_term.setdefault(t, []).append((qid, w, r))
+    # cursored queries take the exact path: block-max pruning targets the
+    # TOP of the score range, which a ceiling excludes
     single_term_q = {
-        qid: terms[0][0] for qid, terms, _k in qplans if len(terms) == 1
+        qid: terms[0][0] for qid, terms, _k in qplans
+        if len(terms) == 1 and qid not in cursors
     }
 
     def _block_bound(max_tf: int, min_dl: int) -> float:
@@ -280,7 +293,16 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
                 sums = np.maximum.reduceat(sums, st)
             keep = sums > threshold
             uniq, sums = uniq[keep], sums[keep]
-            uniq, sums = _topk_keep_ties(uniq, sums, k)
+            cs = cursors.get(qid)
+            if cs is not None:  # pagination ceiling: see factory docstring
+                m = sums <= cs
+                uniq, sums = uniq[m], sums[m]
+                eq = sums == cs
+                lt_d, lt_s = _topk_keep_ties(uniq[~eq], sums[~eq], k)
+                uniq = np.concatenate([uniq[eq], lt_d])
+                sums = np.concatenate([sums[eq], lt_s])
+            else:
+                uniq, sums = _topk_keep_ties(uniq, sums, k)
             if uniq.size:
                 out_qid.append(np.full(uniq.size, qid, dtype=np.int64))
                 out_docid.append(uniq)
@@ -670,7 +692,8 @@ def _make_file_score_fn(qplans, avgdl: float, threshold: float,
                         hit_terms: list[str],
                         has_filter: bool = False,
                         has_bounds: bool = False,
-                        has_deny: bool = False):
+                        has_deny: bool = False,
+                        cursors: dict[int, float] | None = None):
     """File-aligned kernel: each task receives segment FILE PATHS, reads
     them directly (pyarrow dataset; term-IN filter prunes row groups off
     the same min/max stats the Spark scan would use; single-threaded —
@@ -686,7 +709,7 @@ def _make_file_score_fn(qplans, avgdl: float, threshold: float,
     is byte-identical to the shuffle path's."""
     inner = _make_score_fn(qplans, avgdl, threshold,
                            has_filter=has_filter, has_bounds=has_bounds,
-                           has_deny=has_deny)
+                           has_deny=has_deny, cursors=cursors)
     cols = ["term", "shard", "n", "docids_bin", "tfs_bin", "dls_bin",
             "max_tf", "min_dl"]
 
@@ -732,6 +755,7 @@ def _partial_scores(
     n_tasks: int | None,
     docid_filter: DataFrame | None,
     collapse_bounds: DataFrame | None,
+    cursors: dict[int, float] | None = None,
 ) -> tuple[DataFrame | None, list]:
     """Shared plan prefix: query planning (driver-side df lookups), then
     one of two physical strategies for the scan+score stage. Returns
@@ -831,7 +855,7 @@ def _partial_scores(
             partials = paths_df.repartition(len(bins), "route_key") \
                 .mapInArrow(
                     _make_file_score_fn(qplans, avgdl, threshold,
-                                        hit_terms),
+                                        hit_terms, cursors=cursors),
                     "query_id long, docid long, score double",
                 )
             return partials, qplans
@@ -923,7 +947,7 @@ def _partial_scores(
             _make_file_score_fn(qplans, avgdl, threshold, hit_terms,
                                 has_filter=has_filter,
                                 has_bounds=has_bounds,
-                                has_deny=has_deny),
+                                has_deny=has_deny, cursors=cursors),
             "query_id long, docid long, score double",
         )
         return partials, qplans
@@ -954,6 +978,7 @@ def _partial_scores(
             has_filter=docid_filter is not None,
             has_bounds=collapse_bounds is not None,
             has_deny=docid_deny is not None,
+            cursors=cursors,
         ),
         "query_id long, docid long, score double",
     )
@@ -1003,6 +1028,7 @@ def batch_topk(
     driver_merge: bool = False,
     docid_filter: DataFrame | None = None,
     collapse_bounds: DataFrame | None = None,
+    search_after: dict[int, tuple[float, str, int]] | None = None,
 ) -> DataFrame:
     """queries: [(query_id, query_text, k)] -> DataFrame(RESULT_DDL).
 
@@ -1032,18 +1058,55 @@ def batch_topk(
     cut is exact at doc level: a doc's best-unit partition gives its
     global max, so fewer than k docs can outrank it there). Result docid
     = the parent's first-unit docid.
+
+    search_after: {query_id: (score, conv_id, turn_idx)} — the LAST row
+    of the previous page; the query returns the NEXT k rows of the same
+    total order (score desc, conv_id, turn_idx), i.e. cursor pagination
+    without re-fetching earlier pages. Cost stays O(k) per partition at
+    any page depth (the kernel ceilings scores at the cursor before its
+    cut — unlike offset paging, which must haul offset+k rows per task).
+    The cursor score must be the engine's own full-precision float
+    (e.g. from a previous batch_topk result); scores are deterministic,
+    so the strict-after comparison is exact.
     """
     if driver_merge and collapse_bounds is not None:
         raise ValueError("driver_merge does not support collapse_bounds")
     partials, qplans = _partial_scores(
         spark, store, queries, threshold, n_tasks, docid_filter,
         collapse_bounds,
+        cursors={qid: float(s) for qid, (s, _c, _t) in search_after.items()}
+        if search_after else None,
     )
     if partials is None:
         return _local_df(spark, [], RESULT_DDL, RESULT_COLUMNS)
     docmap = spark.read.parquet(store.docmap_path).select(
         "docid", "conv_id", "turn_idx"
     )
+
+    def _after_filter(df: DataFrame) -> DataFrame:
+        # strict-after predicate in the (score desc, conv_id, turn_idx)
+        # total order; the kernel ceiling already dropped everything
+        # ABOVE the cursor score, this resolves the tie run AT it
+        if not search_after:
+            return df
+        cdf = _local_df(
+            spark,
+            [(qid, float(s), c, int(t))
+             for qid, (s, c, t) in search_after.items()],
+            "query_id long, c_score double, c_conv string, c_turn int",
+            ["query_id", "c_score", "c_conv", "c_turn"],
+        )
+        strict = (
+            F.col("c_score").isNull()
+            | (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score"))
+               & ((F.col("conv_id") > F.col("c_conv"))
+                  | ((F.col("conv_id") == F.col("c_conv"))
+                     & (F.col("turn_idx") > F.col("c_turn")))))
+        )
+        return (df.join(F.broadcast(cdf), "query_id", "left")
+                .filter(strict).drop("c_score", "c_conv", "c_turn"))
+
     if collapse_bounds is not None:
         # final collapse keys on the PARENT (conv_id), not the run-start
         # docid: partitions sharing a straddling run each emit a partial
@@ -1069,7 +1132,8 @@ def batch_topk(
             F.desc("score"), F.asc("conv_id")
         )
         return (
-            partials.withColumn("rank", F.row_number().over(w))
+            _after_filter(partials)
+            .withColumn("rank", F.row_number().over(w))
             .join(F.broadcast(kdf), "query_id")
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", "docid", "conv_id", "turn_idx",
@@ -1104,6 +1168,11 @@ def batch_topk(
         by_q: dict[int, list] = {}
         for r in rows:
             c, t = keymap[r["docid"]]
+            if search_after and r["query_id"] in search_after:
+                cs, cc, ct = search_after[r["query_id"]]
+                if not (r["score"] < cs or (r["score"] == cs
+                                            and (c, t) > (cc, ct))):
+                    continue  # at or before the cursor: previous pages
             by_q.setdefault(r["query_id"], []).append(
                 (-r["score"], c, t, r["docid"])
             )
@@ -1119,7 +1188,7 @@ def batch_topk(
         F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
     )
     return (
-        partials.join(docmap, "docid")
+        _after_filter(partials.join(docmap, "docid"))
         .withColumn("rank", F.row_number().over(w))
         .join(F.broadcast(kdf), "query_id")
         .filter(F.col("rank") <= F.col("k"))
@@ -1128,10 +1197,15 @@ def batch_topk(
 
 
 def topk(spark: SparkSession, store: IndexStore, query_text: str, k: int = 5,
-         threshold: float = 0.0, driver_merge: bool = True) -> DataFrame:
+         threshold: float = 0.0, driver_merge: bool = True,
+         search_after: tuple[float, str, int] | None = None) -> DataFrame:
     """Single-query convenience mirroring `VisionAISearch.search`
     (`/root/reference/visionsearch/common_utils/aisearch/core.py:58-69`).
-    Defaults to the low-latency driver-merge path (interactive serving)."""
+    Defaults to the low-latency driver-merge path (interactive serving).
+    search_after: (score, conv_id, turn_idx) of the previous page's last
+    row — returns the next k rows (cursor pagination)."""
     return batch_topk(
-        spark, store, [(0, query_text, k)], threshold, driver_merge=driver_merge
+        spark, store, [(0, query_text, k)], threshold,
+        driver_merge=driver_merge,
+        search_after={0: search_after} if search_after else None,
     ).select("rank", "docid", "conv_id", "turn_idx", "score")

@@ -171,10 +171,19 @@ class ServingApp:
                     # (query/highlight; one O(k) staged point lookup)
                     want_hl = (qs.get("highlight") or ["0"])[0] not in (
                         "0", "", "false")
+                    # cursor pagination: &after_score=&after_docid= echo
+                    # the previous response's next_after verbatim — the
+                    # float round-trips exactly via repr (JSON keeps 17
+                    # significant digits), so the strict-after test stays
+                    # exact across HTTP
+                    after = None
+                    if qs.get("after_score") and qs.get("after_docid"):
+                        after = (float(qs["after_score"][0]),
+                                 int(qs["after_docid"][0]))
                     t0 = time.perf_counter()
                     if want_hl:
                         hits = app.searcher.search_highlighted(
-                            q, k=k, conv_prefix=prefix)
+                            q, k=k, conv_prefix=prefix, search_after=after)
                         rows = [
                             {"docid": d, "conv_id": c, "turn_idx": t,
                              "score": s, "snippet": sn}
@@ -182,17 +191,24 @@ class ServingApp:
                         ]
                     else:
                         hits = app.searcher.search(q, k=k,
-                                                   conv_prefix=prefix)
+                                                   conv_prefix=prefix,
+                                                   search_after=after)
                         rows = [
                             {"docid": d, "conv_id": c, "turn_idx": t,
                              "score": s}
                             for d, c, t, s in hits
                         ]
-                    self._json(200, {
+                    resp = {
                         "query": q,
                         "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
                         "hits": rows,
-                    })
+                    }
+                    if len(rows) == k and rows:
+                        resp["next_after"] = {
+                            "score": rows[-1]["score"],
+                            "docid": rows[-1]["docid"],
+                        }
+                    self._json(200, resp)
                     return
                 if u.path.startswith("/files/") and app.static_dir:
                     if not self._authed():
