@@ -175,6 +175,25 @@ def _bm25_after_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPSERT_QUERY = ("stream revised edition", 20)
+
+
+def _bm25_after_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-or-replace (streaming/incremental.upsert_convs): every 7th
+    doc's text re-ingested with a suffix, old units tombstoned, then a
+    purge compaction — ranking must equal an index built fresh over the
+    MODIFIED corpus (the suffix shifts dl and avgdl, so a value match
+    proves both the replaced text and the recomputed stats)."""
+    from visionsearch_spark.corpus import get_documents_upserted_index
+
+    qtext, k = UPSERT_QUERY
+    store = get_documents_upserted_index(spark, sf_dir)
+    res = batch_topk(spark, store, [(0, qtext, k)])
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 PHRASE_QUERY = ("table scan", 20)
 BOOLEAN_QUERY = (["join"], ["filter", "stream"], ["dup"], 20)
 
@@ -947,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_page2": _bm25_page2,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
+            "bm25_after_upsert": _bm25_after_upsert,
             "bm25_phrase": _bm25_phrase,
             "bm25_proximity": _bm25_proximity,
             "bm25_boolean": _bm25_boolean,
@@ -1491,7 +1511,8 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
                  doc_pred: str | None = None,
                  q_sql: str | None = None,
                  base_pred: str | None = None,
-                 offset: int = 0) -> str:
+                 offset: int = 0,
+                 base_sql: str | None = None) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
     the driver-side twin of visionsearch_spark.oracle. doc_pred restricts
     which docs are RANKED (filter-the-results semantics); df/N/avgdl stay
@@ -1504,10 +1525,16 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
     base_pred restricts the CORPUS itself — docs failing it contribute
     to NOTHING (df, N, avgdl, candidates), mirroring a store whose
     deletes were folded by the purge compaction; doc_pred by contrast
-    only restricts who is ranked (stale-stats deletes / filters)."""
+    only restricts who is ranked (stale-stats deletes / filters).
+
+    base_sql REPLACES the corpus outright with a (doc_id, text) select —
+    the upsert twin ranks over a corpus whose texts were rewritten."""
     toks = duckdb_tokens("text")
-    base = (f"(SELECT * FROM documents WHERE {base_pred}) base_docs"
-            if base_pred else "documents")
+    if base_sql:
+        base = f"({base_sql}) base_docs"
+    else:
+        base = (f"(SELECT * FROM documents WHERE {base_pred}) base_docs"
+                if base_pred else "documents")
     qrows = q_sql if q_sql is not None else "VALUES " + ", ".join(
         f"({qid}, '{t}', {kk})"
         for qid, text, kk in batch
@@ -1768,6 +1795,17 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_after_purge"] = _bm25_oracle(
         [(0, DELETED_QUERY[0], DELETED_QUERY[1])], with_qid=False,
         base_pred=f"doc_id % {DELETE_MOD} <> 0",
+    )
+    # insert-or-replace + purge: rank over the REWRITTEN corpus
+    from visionsearch_spark.corpus import UPSERT_MOD, UPSERT_SUFFIX
+
+    sql["bm25_after_upsert"] = _bm25_oracle(
+        [(0, UPSERT_QUERY[0], UPSERT_QUERY[1])], with_qid=False,
+        base_sql=(
+            f"SELECT doc_id, CASE WHEN doc_id % {UPSERT_MOD} = 0 "
+            f"THEN text || '{UPSERT_SUFFIX}' ELSE text END AS text "
+            "FROM documents"
+        ),
     )
     # phrase containment as a doc predicate: the bigram list of the
     # analyzed tokens contains the phrase gram (mirror of

@@ -115,6 +115,47 @@ def get_documents_purged_index(spark: SparkSession, sf_dir: str,
     return compact_store(spark, root)
 
 
+# deterministic upsert set for the bm25_after_upsert contract row: every
+# 7th document gets its text suffixed (DuckDB twin: doc_id % 7 = 0 →
+# text || ' revised edition'); the suffix changes dl and avgdl, so a
+# value match proves the replaced text AND the recomputed stats
+UPSERT_MOD = 7
+UPSERT_SUFFIX = " revised edition"
+
+
+def get_documents_upserted_index(spark: SparkSession, sf_dir: str,
+                                 n_partitions: int = 8) -> IndexStore:
+    """Documents index after upserting every UPSERT_MOD-th doc with
+    suffixed text (streaming/incremental.upsert_convs) and a purge
+    compaction: equivalent to an index built fresh over the modified
+    corpus (same stats, same postings; internal docids differ —
+    results compare on conv keys)."""
+    from visionsearch_spark.streaming.incremental import upsert_convs
+    from visionsearch_spark.index.spimi import compact_store
+
+    key = hashlib.sha1(
+        f"{CACHE_VERSION}-upsert:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"vss_idx_{key}")
+    store = IndexStore(root)
+    if os.path.exists(store.meta_path):
+        meta = store.read_meta()
+        if (meta.get("phase") == "built"
+                and meta.get("applied_tombstone_dirs")
+                and not meta.get("tombstone_dirs")):
+            return store
+    if not (os.path.exists(store.meta_path)
+            and store.read_meta().get("phase") == "built"):
+        build_index(documents_as_transcripts(spark, sf_dir), root,
+                    n_partitions=n_partitions)
+    if not store.read_meta().get("tombstone_dirs"):
+        delta = documents_as_transcripts(spark, sf_dir).filter(
+            doc_id_col() % UPSERT_MOD == 0
+        ).withColumn("text", F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)))
+        upsert_convs(delta, root, n_partitions=n_partitions)
+    return compact_store(spark, root)
+
+
 def documents_as_unit_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-unit fan-out of the documents corpus: one doc -> N units,
     unit key = (conv_id='doc-%010d', turn_idx=1-based split ordinal).

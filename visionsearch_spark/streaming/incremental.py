@@ -45,13 +45,26 @@ from visionsearch_spark.index.store import (
 
 
 def pending_rows(transcripts: DataFrame, store: IndexStore) -> DataFrame:
-    """New rows not yet in the docmap — the reference's NULL-docid scan
-    (anti-join form; AQE broadcasts the smaller side automatically)."""
+    """New rows not yet LIVE in the docmap — the reference's NULL-docid
+    scan (anti-join form; AQE broadcasts the smaller side automatically).
+    Tombstoned rows (index/deletes.py) don't block: deleting a (conv,
+    turn) makes that key ingestible again — the delete-then-re-add
+    contract `upsert_convs` builds on. Without the exclusion a replaced
+    conversation would be silently skipped forever (its dead rows still
+    sit in the docmap until a purge)."""
     spark = transcripts.sparkSession
     if not os.path.exists(store.docmap_path):
         return transcripts
-    docmap = spark.read.parquet(store.docmap_path).select("conv_id", "turn_idx")
-    return transcripts.join(docmap, ["conv_id", "turn_idx"], "left_anti")
+    docmap = spark.read.parquet(store.docmap_path).select(
+        "docid", "conv_id", "turn_idx"
+    )
+    from visionsearch_spark.index.deletes import all_tombstones
+
+    dead = all_tombstones(spark, store)
+    if dead is not None:
+        docmap = docmap.join(dead.select("docid"), "docid", "left_anti")
+    return transcripts.join(docmap.select("conv_id", "turn_idx"),
+                            ["conv_id", "turn_idx"], "left_anti")
 
 
 def incremental_build(transcripts: DataFrame, root: str,
@@ -192,6 +205,45 @@ def incremental_build(transcripts: DataFrame, root: str,
 
         store = compact_store(spark, store.root, n_partitions)
     return store
+
+
+def upsert_convs(transcripts: DataFrame, root: str,
+                 n_partitions: int | None = None,
+                 max_live_dirs: int = 8,
+                 max_live_files: int = 512) -> IndexStore:
+    """Insert-or-replace whole conversations (Lucene updateDocument
+    semantics): tombstone every live unit of the delta's conv_ids, then
+    append the delta as new docids — `pending_rows` ignores tombstoned
+    rows, so replaced content re-indexes even when byte-identical. Convs
+    not yet in the store are plain inserts. O(delta) end to end.
+
+    Delete-FIRST ordering makes every crash window benign:
+      * crash between the tombstone flip and the append commit — the
+        convs are temporarily ABSENT (never visible twice); re-running
+        the same call completes the append, and the repeated delete is
+        an idempotent no-op (delete_docs anti-joins prior tombstones).
+      * crash mid-append — `incremental_build`'s own phase="appending"
+        repair finishes it; the staged write is job-atomic, so the
+        anti-join sees either all of the delta or none of it.
+    Re-running after full success is also safe: it replaces the new copy
+    with an identical one (one more tombstone epoch until compaction) —
+    the live hit set and its order are unchanged; under the stale rule
+    the dead copy keeps counting in df/N/avgdl until the next compaction
+    folds it (scores drift by that stats shift, then snap back exactly
+    at the fold).
+
+    The reference's only update path is a full index rebuild
+    (`/root/reference/visionsearch/common_utils/aisearch/core.py:44-56`
+    overwrites index_path/ids_path); this is its O(delta) equivalent."""
+    store = IndexStore(root)
+    if os.path.exists(store.meta_path):
+        from visionsearch_spark.index.deletes import delete_convs
+
+        delete_convs(transcripts.sparkSession, store,
+                     transcripts.select("conv_id"))
+    return incremental_build(transcripts, root, n_partitions=n_partitions,
+                             max_live_dirs=max_live_dirs,
+                             max_live_files=max_live_files)
 
 
 def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
