@@ -182,6 +182,31 @@ def test_topk_convenience_cursor(spark, store):
         [r["docid"] for r in sorted(full, key=lambda r: r["rank"])]
 
 
+def test_wrapper_surfaces_paginate(spark, store):
+    """boolean_topk / prefix_topk expose the same cursor; two pages of k
+    equal one page of 2k on each surface."""
+    from visionsearch_spark.query.boolean import boolean_topk
+    from visionsearch_spark.query.multiterm import prefix_topk
+
+    def pages(fn, **kw):
+        p1 = sorted(fn(k=PAGE_K, **kw).collect(), key=lambda r: r["rank"])
+        last = p1[-1]
+        p2 = sorted(
+            fn(k=PAGE_K, search_after=(last["score"], last["conv_id"],
+                                       last["turn_idx"]), **kw).collect(),
+            key=lambda r: r["rank"])
+        full = sorted(fn(k=2 * PAGE_K, **kw).collect(),
+                      key=lambda r: r["rank"])
+        return [r["docid"] for r in p1 + p2], [r["docid"] for r in full]
+
+    got, want = pages(
+        lambda **kw: boolean_topk(spark, store, must=["join"],
+                                  should=None, must_not=["dup"], **kw))
+    assert got == want
+    got, want = pages(lambda **kw: prefix_topk(spark, store, "fil", **kw))
+    assert got == want
+
+
 def test_local_searcher_pagination(store):
     s = LocalSearcher(store)
     full = s.search("join filter stream", k=3 * PAGE_K)

@@ -195,10 +195,13 @@ def boolean_topk(
     k: int = 5,
     threshold: float = 0.0,
     query_id: int = 0,
+    search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """Boolean-filtered BM25 top-k (wand.RESULT_DDL shape). Scoring terms
     = must + should; membership per the Lucene rule (musts conjunctive,
-    shoulds qualify only when no musts, must_not always excludes)."""
+    shoulds qualify only when no musts, must_not always excludes).
+    search_after: (score, conv_id, turn_idx) cursor — next page of the
+    same filtered ranking (wand.batch_topk pagination)."""
     must_t = _norm_terms(must)
     should_t = _norm_terms(should)
     if not must_t and not should_t:
@@ -213,6 +216,7 @@ def boolean_topk(
     return wand.batch_topk(
         spark, store, [(query_id, qtext, k)], threshold=threshold,
         docid_filter=allow,
+        search_after={query_id: search_after} if search_after else None,
     )
 
 
@@ -278,10 +282,12 @@ def phrase_topk(
     k: int = 5,
     threshold: float = 0.0,
     query_id: int = 0,
+    search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k: rank only docs containing the analyzed
     token sequence, scored over the phrase's terms with UNCHANGED global
-    stats (filter-the-results semantics, like every sideband query)."""
+    stats (filter-the-results semantics, like every sideband query).
+    search_after: cursor for the next page of the same ranking."""
     toks = tokenize(phrase)
     if not toks:
         return wand._local_df(
@@ -292,6 +298,7 @@ def phrase_topk(
     return wand.batch_topk(
         spark, store, [(query_id, qtext, k)], threshold=threshold,
         docid_filter=verified,
+        search_after={query_id: search_after} if search_after else None,
     )
 
 
@@ -349,10 +356,12 @@ def proximity_topk(
     k: int = 5,
     threshold: float = 0.0,
     query_id: int = 0,
+    search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """Proximity-filtered BM25 top-k: rank only docs where the terms
     co-occur within the window, scored over those terms with UNCHANGED
-    global stats (filter-the-results semantics)."""
+    global stats (filter-the-results semantics).
+    search_after: cursor for the next page of the same ranking."""
     toks = _norm_terms(terms)
     if not toks:
         return wand._local_df(
@@ -362,4 +371,5 @@ def proximity_topk(
     return wand.batch_topk(
         spark, store, [(query_id, " ".join(toks), k)],
         threshold=threshold, docid_filter=verified,
+        search_after={query_id: search_after} if search_after else None,
     )

@@ -255,13 +255,16 @@ def expand_fuzzy(
 
 def _rewrite_topk(spark: SparkSession, store: IndexStore,
                   expanded: list[tuple[str, int]], k: int,
-                  threshold: float, query_id: int) -> DataFrame:
+                  threshold: float, query_id: int,
+                  search_after: tuple[float, str, int] | None = None
+                  ) -> DataFrame:
     if not expanded:
         return wand._local_df(spark, [], wand.RESULT_DDL,
                               wand.RESULT_COLUMNS)
     qtext = " ".join(t for t, _df in expanded)
     return wand.batch_topk(
-        spark, store, [(query_id, qtext, k)], threshold=threshold
+        spark, store, [(query_id, qtext, k)], threshold=threshold,
+        search_after={query_id: search_after} if search_after else None,
     )
 
 
@@ -274,12 +277,14 @@ def prefix_topk(
     threshold: float = 0.0,
     query_id: int = 0,
     use_spark: bool | None = None,
+    search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k over the prefix's top-df expansions (wand.RESULT_DDL
     shape): docs containing ANY expanded term, scored as the BM25 sum
     over the expanded terms they contain."""
     exp = expand_prefix(spark, store, prefix, max_expansions, use_spark)
-    return _rewrite_topk(spark, store, exp, k, threshold, query_id)
+    return _rewrite_topk(spark, store, exp, k, threshold, query_id,
+                         search_after=search_after)
 
 
 def wildcard_topk(
@@ -291,10 +296,12 @@ def wildcard_topk(
     threshold: float = 0.0,
     query_id: int = 0,
     use_spark: bool | None = None,
+    search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k over the wildcard pattern's top-df expansions."""
     exp = expand_wildcard(spark, store, pattern, max_expansions, use_spark)
-    return _rewrite_topk(spark, store, exp, k, threshold, query_id)
+    return _rewrite_topk(spark, store, exp, k, threshold, query_id,
+                         search_after=search_after)
 
 
 def fuzzy_topk(
@@ -308,8 +315,10 @@ def fuzzy_topk(
     threshold: float = 0.0,
     query_id: int = 0,
     use_spark: bool | None = None,
+    search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k over the fuzzy expansions of `term`."""
     exp = expand_fuzzy(spark, store, term, max_edits, prefix_length,
                        max_expansions, use_spark)
-    return _rewrite_topk(spark, store, exp, k, threshold, query_id)
+    return _rewrite_topk(spark, store, exp, k, threshold, query_id,
+                         search_after=search_after)
