@@ -122,6 +122,42 @@ def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGE_QUERY = ("join filter", 10)
+BOOSTED_QUERY = ({"join": 1.0, "filter": 2.5, "stream": 0.5}, 20)
+# synonym expansion: base terms at 1.0, synonyms of 'filter' at 0.6 —
+# one real corpus term and one OOV (drops out on both sides)
+SYNONYM_BOOSTS = {"join": 1.0, "filter": 1.0,
+                  "window": 0.6, "zzzsynonym": 0.6}
+SYNONYM_K = 20
+
+
+def _bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time term boosting (Lucene term^boost): each term's BM25
+    contribution multiplied by its boost — a plan-time reweight on the
+    unchanged zero-shuffle path (multiterm.boosted_topk)."""
+    from visionsearch_spark.query.multiterm import boosted_topk
+
+    boosts, k = BOOSTED_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = boosted_topk(spark, store, boosts, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded search: synonyms join the disjunction as extra
+    scoring terms, down-weighted (multiterm.synonym_topk); OOV synonyms
+    drop out exactly like OOV query terms."""
+    from visionsearch_spark.query.multiterm import synonym_topk
+
+    store = get_documents_index(spark, sf_dir)
+    res = synonym_topk(
+        spark, store, "join filter",
+        {"filter": ["window", "zzzsynonym"]}, syn_boost=0.6, k=SYNONYM_K,
+    )
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
 
 
 def _bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_batch": _bm25_batch,
             "bm25_filtered": _bm25_filtered,
             "bm25_page2": _bm25_page2,
+            "bm25_boosted": _bm25_boosted,
+            "bm25_synonyms": _bm25_synonyms,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
             "bm25_after_upsert": _bm25_after_upsert,
@@ -1512,7 +1550,8 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
                  q_sql: str | None = None,
                  base_pred: str | None = None,
                  offset: int = 0,
-                 base_sql: str | None = None) -> str:
+                 base_sql: str | None = None,
+                 boosts: dict[str, float] | None = None) -> str:
     """Exhaustive BM25 (k1=1.2, b=0.75, Lucene idf) in plain DuckDB SQL —
     the driver-side twin of visionsearch_spark.oracle. doc_pred restricts
     which docs are RANKED (filter-the-results semantics); df/N/avgdl stay
@@ -1528,18 +1567,30 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
     only restricts who is ranked (stale-stats deletes / filters).
 
     base_sql REPLACES the corpus outright with a (doc_id, text) select —
-    the upsert twin ranks over a corpus whose texts were rewritten."""
+    the upsert twin ranks over a corpus whose texts were rewritten.
+
+    boosts: {analyzed term: multiplier} — query-time boosting twin
+    (wand term_boosts): the q relation gains a boost column and each
+    term's BM25 contribution is multiplied by it. Overrides the batch's
+    term list (the boost map IS the term set)."""
     toks = duckdb_tokens("text")
     if base_sql:
         base = f"({base_sql}) base_docs"
     else:
         base = (f"(SELECT * FROM documents WHERE {base_pred}) base_docs"
                 if base_pred else "documents")
-    qrows = q_sql if q_sql is not None else "VALUES " + ", ".join(
-        f"({qid}, '{t}', {kk})"
-        for qid, text, kk in batch
-        for t in sorted(set(tokenize(text)))
-    )
+    if boosts is not None:
+        qid0, _text0, k0 = batch[0]
+        qrows = "VALUES " + ", ".join(
+            f"({qid0}, '{t}', {k0}, {b!r})"
+            for t, b in sorted(boosts.items())
+        )
+    else:
+        qrows = q_sql if q_sql is not None else "VALUES " + ", ".join(
+            f"({qid}, '{t}', {kk})"
+            for qid, text, kk in batch
+            for t in sorted(set(tokenize(text)))
+        )
     proj = (
         "query_id, doc_id, round(score, 6) AS score"
         if with_qid
@@ -1549,8 +1600,10 @@ def _bm25_oracle(batch: list[tuple[int, str, int]], with_qid: bool,
         f"WHERE tf.doc_id IN (SELECT doc_id FROM {base} WHERE {doc_pred})"
         if doc_pred else ""
     )
+    qcols = "query_id, term, k" + (", boost" if boosts is not None else "")
+    bmul = "q.boost * " if boosts is not None else ""
     return f"""
-WITH q(query_id, term, k) AS ({qrows}),
+WITH q({qcols}) AS ({qrows}),
 toks AS (
   SELECT doc_id, unnest({toks}) AS term FROM {base}
 ),
@@ -1566,7 +1619,7 @@ tf AS (
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT q.query_id, any_value(q.k) AS k, tf.doc_id,
-         sum( ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         sum( {bmul}ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
   FROM q JOIN tf USING(term) JOIN df USING(term) JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
@@ -1783,6 +1836,15 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_page2"] = _bm25_oracle(
         [(0, PAGE_QUERY[0], PAGE_QUERY[1])], with_qid=False,
         offset=PAGE_QUERY[1],
+    )
+    # query-time boosting: per-term multipliers in the score sum
+    sql["bm25_boosted"] = _bm25_oracle(
+        [(0, "", BOOSTED_QUERY[1])], with_qid=False,
+        boosts=BOOSTED_QUERY[0],
+    )
+    # synonym expansion == boosting over the expanded term set
+    sql["bm25_synonyms"] = _bm25_oracle(
+        [(0, "", SYNONYM_K)], with_qid=False, boosts=SYNONYM_BOOSTS,
     )
     # tombstoned-not-purged: stats global, dead docs merely unrankable
     from visionsearch_spark.corpus import DELETE_MOD

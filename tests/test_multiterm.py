@@ -151,3 +151,76 @@ def test_expansion_cap_is_deterministic(spark, mt_store, vocab_df):
             got = expand_prefix(spark, mt_store, "s", cap,
                                 use_spark=use_spark)
             assert got == want, (cap, use_spark)
+
+
+# ---------------------------------------------------------------- boosting
+
+def test_boost_of_one_equals_plain_query(spark, mt_store):
+    from visionsearch_spark.query.multiterm import boosted_topk
+    from visionsearch_spark.query.wand import batch_topk
+
+    plain = batch_topk(spark, mt_store, [(0, "join filter", 10)]).collect()
+    boosted = boosted_topk(
+        spark, mt_store, {"join": 1.0, "filter": 1.0}, k=10).collect()
+    key = lambda r: (r["rank"], r["docid"], round(r["score"], 9))
+    assert sorted(map(key, plain)) == sorted(map(key, boosted))
+
+
+def test_boost_scales_term_contribution_exactly(spark, mt_store):
+    """score(boosted) == boost · contribution(term) summed — verified by
+    comparing a 2x-boosted single-term query against the plain one."""
+    from visionsearch_spark.query.multiterm import boosted_topk
+
+    plain = {r["docid"]: r["score"] for r in boosted_topk(
+        spark, mt_store, {"join": 1.0}, k=2000).collect()}
+    double = {r["docid"]: r["score"] for r in boosted_topk(
+        spark, mt_store, {"join": 2.0}, k=2000).collect()}
+    assert set(plain) == set(double)
+    import math
+    for d, s in plain.items():
+        assert math.isclose(double[d], 2.0 * s, rel_tol=1e-12)
+
+
+def test_boost_reorders_ranking(spark, mt_store):
+    from visionsearch_spark.query.multiterm import boosted_topk
+
+    lo = boosted_topk(spark, mt_store,
+                      {"join": 1.0, "filter": 0.01}, k=5).collect()
+    hi = boosted_topk(spark, mt_store,
+                      {"join": 0.01, "filter": 1.0}, k=5).collect()
+    assert [r["docid"] for r in sorted(lo, key=lambda r: r["rank"])] != \
+        [r["docid"] for r in sorted(hi, key=lambda r: r["rank"])]
+
+
+def test_synonym_finds_docs_without_base_term(spark, mt_store):
+    from visionsearch_spark.query.multiterm import synonym_topk
+    from visionsearch_spark.query.wand import batch_topk
+
+    # 'stream' as a synonym of 'join': docs containing only 'stream'
+    # become reachable; OOV synonyms change nothing
+    base = {r["docid"] for r in batch_topk(
+        spark, mt_store, [(0, "join", 4000)]).collect()}
+    syn = synonym_topk(spark, mt_store, "join",
+                       {"join": ["stream", "zzznope"]}, syn_boost=0.5,
+                       k=4000).collect()
+    syn_ids = {r["docid"] for r in syn}
+    assert syn_ids > base  # strictly more reachable docs
+    only_syn = synonym_topk(spark, mt_store, "join", {"join": ["zzznope"]},
+                            k=4000).collect()
+    assert {r["docid"] for r in only_syn} == base
+
+
+def test_boosted_pagination_composes(spark, mt_store):
+    from visionsearch_spark.query.multiterm import boosted_topk
+
+    b = {"join": 1.0, "filter": 2.0}
+    full = sorted(boosted_topk(spark, mt_store, b, k=10).collect(),
+                  key=lambda r: r["rank"])
+    p1 = sorted(boosted_topk(spark, mt_store, b, k=5).collect(),
+                key=lambda r: r["rank"])
+    last = p1[-1]
+    p2 = sorted(boosted_topk(
+        spark, mt_store, b, k=5,
+        search_after=(last["score"], last["conv_id"], last["turn_idx"]),
+    ).collect(), key=lambda r: r["rank"])
+    assert [r["docid"] for r in p1 + p2] == [r["docid"] for r in full]

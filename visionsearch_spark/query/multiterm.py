@@ -304,6 +304,70 @@ def wildcard_topk(
                          search_after=search_after)
 
 
+def boosted_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    boosts: dict[str, float],
+    k: int = 5,
+    threshold: float = 0.0,
+    query_id: int = 0,
+    search_after: tuple[float, str, int] | None = None,
+) -> DataFrame:
+    """Query-time term boosting (Lucene `term^boost`): rank by
+    Σ boost(t) · BM25(t, doc) over the given terms. Keys are analyzed
+    (a multi-token key gives its boost to each token; collisions keep
+    the max); boosts are a plan-time reweight — the execution path,
+    stats, and block-max bounds are the plain query's."""
+    norm: dict[str, float] = {}
+    for raw, b in boosts.items():
+        for t in tokenize(raw):
+            norm[t] = max(norm.get(t, 0.0), float(b))
+    if not norm:
+        return wand._local_df(spark, [], wand.RESULT_DDL,
+                              wand.RESULT_COLUMNS)
+    qtext = " ".join(sorted(norm))
+    return wand.batch_topk(
+        spark, store, [(query_id, qtext, k)], threshold=threshold,
+        term_boosts={query_id: norm},
+        search_after={query_id: search_after} if search_after else None,
+    )
+
+
+def synonym_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query_text: str,
+    synonyms: dict[str, list[str]],
+    syn_boost: float = 0.5,
+    k: int = 5,
+    threshold: float = 0.0,
+    query_id: int = 0,
+    search_after: tuple[float, str, int] | None = None,
+) -> DataFrame:
+    """Synonym-expanded search: query terms score at boost 1.0, their
+    synonyms join the disjunction down-weighted by `syn_boost` — a doc
+    matches on either form. Semantics: synonyms are EXTRA scoring terms
+    with their OWN idf (the scoring-boolean rewrite, like this module's
+    prefix/fuzzy), not Lucene SynonymQuery's df-blending — documented
+    difference, chosen because it needs no stats rewrite and composes
+    with every sideband. Synonyms of terms absent from the query are
+    ignored; OOV synonyms drop out like any OOV term."""
+    base = set(tokenize(query_text))
+    if not base:
+        return wand._local_df(spark, [], wand.RESULT_DDL,
+                              wand.RESULT_COLUMNS)
+    boosts = {t: 1.0 for t in base}
+    for raw, syns in synonyms.items():
+        if not set(tokenize(raw)) & base:
+            continue
+        for s in syns:
+            for st in tokenize(s):
+                if st not in boosts:
+                    boosts[st] = float(syn_boost)
+    return boosted_topk(spark, store, boosts, k=k, threshold=threshold,
+                        query_id=query_id, search_after=search_after)
+
+
 def fuzzy_topk(
     spark: SparkSession,
     store: IndexStore,

@@ -756,6 +756,7 @@ def _partial_scores(
     docid_filter: DataFrame | None,
     collapse_bounds: DataFrame | None,
     cursors: dict[int, float] | None = None,
+    term_boosts: dict[int, dict[str, float]] | None = None,
 ) -> tuple[DataFrame | None, list]:
     """Shared plan prefix: query planning (driver-side df lookups), then
     one of two physical strategies for the scan+score stage. Returns
@@ -800,8 +801,14 @@ def _partial_scores(
     dfs = _lookup_term_dfs(spark, store, all_terms)
     qplans = []
     for qid, _text, k in queries:
+        # term_boosts scale each term's contribution (Lucene query-time
+        # boost): the kernel already multiplies per-term weights into the
+        # score sum, so boosting is a pure plan-time reweight — zero
+        # execution-path change, block-max bounds stay safe (they scale
+        # by the same factor)
+        boosts = (term_boosts or {}).get(qid) or {}
         terms = [
-            (t, idf_fn(n_docs, dfs[t]), r)
+            (t, idf_fn(n_docs, dfs[t]) * float(boosts.get(t, 1.0)), r)
             for r, t in enumerate(qtoks[qid])
             if t in dfs
         ]
@@ -1029,6 +1036,7 @@ def batch_topk(
     docid_filter: DataFrame | None = None,
     collapse_bounds: DataFrame | None = None,
     search_after: dict[int, tuple[float, str, int]] | None = None,
+    term_boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """queries: [(query_id, query_text, k)] -> DataFrame(RESULT_DDL).
 
@@ -1068,6 +1076,10 @@ def batch_topk(
     The cursor score must be the engine's own full-precision float
     (e.g. from a previous batch_topk result); scores are deterministic,
     so the strict-after comparison is exact.
+
+    term_boosts: {query_id: {term: boost}} — Lucene-style query-time
+    boosting; each matching term's BM25 contribution is multiplied by
+    its boost (default 1.0). Plan-time reweight only.
     """
     if driver_merge and collapse_bounds is not None:
         raise ValueError("driver_merge does not support collapse_bounds")
@@ -1076,6 +1088,7 @@ def batch_topk(
         collapse_bounds,
         cursors={qid: float(s) for qid, (s, _c, _t) in search_after.items()}
         if search_after else None,
+        term_boosts=term_boosts,
     )
     if partials is None:
         return _local_df(spark, [], RESULT_DDL, RESULT_COLUMNS)
