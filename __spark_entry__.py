@@ -122,6 +122,37 @@ def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGE_QUERY = ("join filter", 10)
+HYBRID_QUERY = ("join filter stream", 0, 15, 40)  # text, qvec id, k, depth
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + exact-cosine retrieval fused by reciprocal-rank
+    fusion (query/hybrid.py): fused = 1/(60+bm25_rank) + 1/(60+cos_rank),
+    each list depth-bounded, ids mapped vec_id == doc_id."""
+    from pyspark.sql import Window
+
+    from visionsearch_spark.operators.similarity import cosine_topk_to_query
+    from visionsearch_spark.query.hybrid import hybrid_topk
+
+    qtext, qid, k, depth = HYBRID_QUERY
+    store = get_documents_index(spark, sf_dir)
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    qvec = emb.filter(F.col("vec_id") == qid).select("embedding") \
+        .limit(1).collect()[0][0]
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vec_ranked = (
+        cosine_topk_to_query(emb, list(qvec), k=depth)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.format_string("doc-%010d", F.col("vec_id"))
+                .alias("conv_id"), "rank")
+    )
+    res = hybrid_topk(spark, store, qtext, vec_ranked, k=k, depth=depth)
+    return res.select(
+        doc_id_col().alias("doc_id"), "rank",
+        F.round("fused", 6).alias("fused"),
+    )
+
+
 BOOSTED_QUERY = ({"join": 1.0, "filter": 2.5, "stream": 0.5}, 20)
 # synonym expansion: base terms at 1.0, synonyms of 'filter' at 0.6 —
 # one real corpus term and one OOV (drops out on both sides)
@@ -1002,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_page2": _bm25_page2,
             "bm25_boosted": _bm25_boosted,
             "bm25_synonyms": _bm25_synonyms,
+            "hybrid_rrf": _hybrid_rrf,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
             "bm25_after_upsert": _bm25_after_upsert,
@@ -1635,6 +1667,61 @@ SELECT {proj} FROM ranked WHERE rnk > {offset} AND rnk <= {offset} + k
 """
 
 
+def _hybrid_oracle(qtext: str, qvec_id: int, k: int, depth: int,
+                   c: int = 60) -> str:
+    """DuckDB twin of query/hybrid.hybrid_topk: BM25 top-`depth` and
+    exact-cosine top-`depth` (vec_id == doc_id), RRF-fused at constant
+    `c`, top-k by (fused desc, doc_id). Both rank lists use the frozen
+    tie-breaks; the fused sum is two IEEE doubles added in list order on
+    both engines, so values are bit-comparable before the round."""
+    toks = duckdb_tokens("text")
+    terms = ", ".join(f"('{t}')" for t in sorted(set(tokenize(qtext))))
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(len({toks})) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING(term) JOIN df USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored QUALIFY r <= {depth}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (
+    ORDER BY list_cosine_similarity(
+      v, (SELECT v FROM e WHERE vec_id = {qvec_id})) DESC,
+    vec_id ASC) AS r
+  FROM e QUALIFY r <= {depth}
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+         coalesce(1.0 / ({c} + bm.r), 0.0)
+         + coalesce(1.0 / ({c} + vec.r), 0.0) AS fused
+  FROM bm FULL JOIN vec ON bm.doc_id = vec.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY fused DESC, doc_id ASC) AS rank,
+       round(fused, 6) AS fused
+FROM fused ORDER BY fused DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _unit_bm25_oracle(qtext: str, k: int) -> str:
     """DuckDB twin of units.unit_topk: per-unit BM25 under UNIT corpus
     stats (zero-token parts excluded), MAX collapse per doc, top-k with
@@ -1836,6 +1923,10 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_page2"] = _bm25_oracle(
         [(0, PAGE_QUERY[0], PAGE_QUERY[1])], with_qid=False,
         offset=PAGE_QUERY[1],
+    )
+    # hybrid BM25 + cosine retrieval, reciprocal-rank fusion
+    sql["hybrid_rrf"] = _hybrid_oracle(
+        HYBRID_QUERY[0], HYBRID_QUERY[1], HYBRID_QUERY[2], HYBRID_QUERY[3],
     )
     # query-time boosting: per-term multipliers in the score sum
     sql["bm25_boosted"] = _bm25_oracle(
