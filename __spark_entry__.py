@@ -153,6 +153,23 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QS_QUERY = ('+join -dup "table scan" stream^2', 20)
+
+
+def _bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style query string (query/querylang.py): one pass that
+    composes must/must_not membership, exact-phrase verify, and boosted
+    BM25 scoring — the allow-set rides the routed sideband fast path."""
+    from visionsearch_spark.query.querylang import query_string_topk
+
+    qs, k = QS_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = query_string_topk(spark, store, qs, k=k)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 BOOSTED_QUERY = ({"join": 1.0, "filter": 2.5, "stream": 0.5}, 20)
 # synonym expansion: base terms at 1.0, synonyms of 'filter' at 0.6 —
 # one real corpus term and one OOV (drops out on both sides)
@@ -1033,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_page2": _bm25_page2,
             "bm25_boosted": _bm25_boosted,
             "bm25_synonyms": _bm25_synonyms,
+            "bm25_querystring": _bm25_querystring,
             "hybrid_rrf": _hybrid_rrf,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
@@ -1923,6 +1941,19 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_page2"] = _bm25_oracle(
         [(0, PAGE_QUERY[0], PAGE_QUERY[1])], with_qid=False,
         offset=PAGE_QUERY[1],
+    )
+    # query-string language: +must -not "phrase" term^boost in one pass —
+    # membership = must ∧ phrase ∧ ¬not, scoring = boosted disjunction
+    sql["bm25_querystring"] = _bm25_oracle(
+        [(0, "", QS_QUERY[1])], with_qid=False,
+        boosts={"join": 1.0, "scan": 1.0, "stream": 2.0, "table": 1.0},
+        doc_pred=(
+            f"list_contains({toks}, 'join') "
+            f"AND NOT list_contains({toks}, 'dup') "
+            f"AND len({toks}) >= 2 AND list_contains("
+            f"list_transform(generate_series(1, len({toks})-1), "
+            f"i -> {toks}[i] || ' ' || {toks}[i+1]), 'table scan')"
+        ),
     )
     # hybrid BM25 + cosine retrieval, reciprocal-rank fusion
     sql["hybrid_rrf"] = _hybrid_oracle(
