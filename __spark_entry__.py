@@ -154,6 +154,41 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QS_QUERY = ('+join -dup "table scan" stream^2', 20)
+EXPLAIN_QUERY = "join filter stream"
+PERCOLATE_QUERIES = [(1, "join filter"), (2, "stream"), (3, "join dup"),
+                     (4, "zzzznotaword")]
+
+
+def _percolate_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (operators/percolate.py): which registered queries
+    match each document — conjunctive on analyzed terms; the alerting /
+    saved-search primitive. Stateless, so the streaming form is the
+    same function per micro-batch (test-pinned)."""
+    from visionsearch_spark.operators.percolate import percolate
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return percolate(docs, PERCOLATE_QUERIES).orderBy("doc_id", "query_id")
+
+
+def _bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style score explanation (query/explain.py): the per-term
+    BM25 breakdown of the query's TOP document — Σ contribution equals
+    its ranking score bit-for-bit (same analyzer, stats, formulas,
+    summation order)."""
+    from visionsearch_spark.query.explain import explain_score
+
+    store = get_documents_index(spark, sf_dir)
+    top = batch_topk(spark, store, [(0, EXPLAIN_QUERY, 1)]).collect()[0]
+    res = explain_score(spark, store, EXPLAIN_QUERY,
+                        top["conv_id"], top["turn_idx"])
+    return res.select(
+        "term", F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_weight", 6).alias("tf_weight"),
+        F.round("contribution", 6).alias("contribution"),
+    )
 
 
 def _bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_boosted": _bm25_boosted,
             "bm25_synonyms": _bm25_synonyms,
             "bm25_querystring": _bm25_querystring,
+            "bm25_explain": _bm25_explain,
+            "percolate_queries": _percolate_queries,
             "hybrid_rrf": _hybrid_rrf,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
@@ -1955,6 +1992,61 @@ def oracle_sql() -> dict[str, str]:
             f"i -> {toks}[i] || ' ' || {toks}[i+1]), 'table scan')"
         ),
     )
+    # reverse search: registered queries vs every document (conjunctive)
+    from visionsearch_spark.operators.percolate import query_table
+
+    _pq_rows = query_table(PERCOLATE_QUERIES)
+    _pq_vals = ", ".join(f"({q}, '{t}', {n})" for q, t, n in _pq_rows)
+    sql["percolate_queries"] = f"""
+WITH pq(query_id, term, n_terms) AS (VALUES {_pq_vals}),
+dterms AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+  )
+)
+SELECT d.doc_id, pq.query_id
+FROM dterms d JOIN pq USING(term)
+GROUP BY d.doc_id, pq.query_id
+HAVING count(*) = any_value(pq.n_terms)
+ORDER BY doc_id, query_id
+"""
+    # per-term score explanation of the query's top-1 document
+    _ex_terms = ", ".join(
+        f"('{t}')" for t in sorted(set(tokenize(EXPLAIN_QUERY))))
+    sql["bm25_explain"] = f"""
+WITH q(term) AS (VALUES {_ex_terms}),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(len({toks})) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING(term) JOIN df USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top1 AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT tf.term,
+       tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl, df.df::BIGINT AS df,
+       round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+       round((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS tf_weight,
+       round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS contribution
+FROM tf JOIN df USING(term) JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id = (SELECT doc_id FROM top1)
+"""
     # hybrid BM25 + cosine retrieval, reciprocal-rank fusion
     sql["hybrid_rrf"] = _hybrid_oracle(
         HYBRID_QUERY[0], HYBRID_QUERY[1], HYBRID_QUERY[2], HYBRID_QUERY[3],

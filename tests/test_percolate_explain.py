@@ -1,0 +1,126 @@
+"""Percolation (reverse search) + score explanation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from visionsearch_spark.analyzer import tokenize
+from visionsearch_spark.operators.percolate import percolate
+from visionsearch_spark.query.explain import explain_score
+from visionsearch_spark.query.wand import batch_topk
+
+QUERIES = [(1, "join filter"), (2, "stream"), (3, "zzzznotaword"),
+           (4, "join zzzznotaword"), (5, "")]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, transcripts):
+    return transcripts.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("text"),
+    ).cache()
+
+
+def test_percolate_matches_python_oracle(spark, docs):
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, QUERIES).collect()}
+    want = set()
+    for row in docs.collect():
+        toks = set(tokenize(row["text"]))
+        for qid, qtext in QUERIES:
+            qterms = set(tokenize(qtext))
+            if qterms and qterms <= toks:
+                want.add((row["doc_id"], qid))
+    assert got == want
+    assert want  # fixture actually exercises matches
+    qids = {q for _d, q in got}
+    assert 3 not in qids and 5 not in qids  # OOV/empty never match
+    assert 4 not in qids  # conjunctive: one OOV term kills the query
+
+
+def test_percolate_no_queries(spark, docs):
+    assert percolate(docs, []).count() == 0
+    assert percolate(docs, [(1, "")]).count() == 0
+
+
+def test_percolate_plan_broadcasts_queries(spark, docs):
+    plan = percolate(docs, QUERIES)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_percolate_stream_equals_batch(spark, docs, tmp_path):
+    from visionsearch_spark.operators.percolate import percolate_stream
+
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = percolate_stream(stream, QUERIES, str(tmp_path / "out"),
+                         str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["query_id"]) for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(docs, QUERIES).collect()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def store(transcripts, tmp_path_factory):
+    from visionsearch_spark.index.spimi import build_index
+
+    root = str(tmp_path_factory.mktemp("exp") / "store")
+    return build_index(transcripts, root, n_partitions=4)
+
+
+def test_explain_sums_to_ranking_score(spark, store):
+    from visionsearch_spark.query.explain import (
+        explain_rows,
+        explained_total,
+    )
+
+    q = "join filter stream"
+    for hit in batch_topk(spark, store, [(0, q, 5)]).collect():
+        rows = explain_score(spark, store, q, hit["conv_id"],
+                             hit["turn_idx"]).collect()
+        assert rows
+        for r in rows:
+            assert math.isclose(r["contribution"],
+                                r["idf"] * r["tf_weight"], rel_tol=1e-12)
+        raw = explain_rows(store, q, hit["conv_id"], hit["turn_idx"],
+                           spark)
+        # bit-identical: explained_total reuses the kernel's reduceat
+        # reduction tree (pairwise, NOT sequential — a naive sum can be
+        # 1 ulp off)
+        assert explained_total(raw) == hit["score"]
+
+
+def test_explain_unknown_doc_and_oov(spark, store):
+    assert explain_score(spark, store, "join", "conv-nope", 1).count() == 0
+    first = spark.read.parquet(store.docmap_path) \
+        .select("conv_id", "turn_idx").first()
+    assert explain_score(spark, store, "zzzznotaword",
+                         first["conv_id"], first["turn_idx"]).count() == 0
+
+
+def test_explain_masks_tombstoned_doc(spark, store, tmp_path):
+    import shutil
+
+    from visionsearch_spark.index.deletes import delete_convs
+    from visionsearch_spark.index.store import IndexStore
+
+    dst = str(tmp_path / "store")
+    shutil.copytree(store.root, dst)
+    st = IndexStore(dst)
+    hit = batch_topk(spark, st, [(0, "join", 1)]).collect()[0]
+    assert explain_score(spark, st, "join", hit["conv_id"],
+                         hit["turn_idx"]).count() > 0
+    delete_convs(spark, st, spark.createDataFrame(
+        [(hit["conv_id"],)], "conv_id string"))
+    assert explain_score(spark, st, "join", hit["conv_id"],
+                         hit["turn_idx"]).count() == 0
