@@ -79,6 +79,25 @@ def test_search_endpoint_pagination(served):
     assert got == [(d, s) for d, _c, _t, s in exp]
 
 
+def test_explain_endpoint(served):
+    """GET /explain returns the per-term breakdown whose reduceat total
+    equals the served hit's score (Spark-free request path)."""
+    url, searcher, *_ = served
+    q = "join filter"
+    hits = searcher.search(q, k=1)
+    d, conv, turn, score = hits[0]
+    status, body = _get(
+        f"{url}/explain?q={urllib.parse.quote(q)}&conv={conv}&turn={turn}")
+    assert status == 200
+    assert body["terms"]
+    assert math.isclose(body["score"], score, rel_tol=1e-12)
+    for t in body["terms"]:
+        assert math.isclose(t["contribution"], t["idf"] * t["tf_weight"],
+                            rel_tol=1e-12)
+    status, empty = _get(f"{url}/explain?q=zzz&conv={conv}&turn={turn}")
+    assert status == 200 and empty["terms"] == [] and empty["score"] == 0.0
+
+
 def test_search_endpoint_highlight_param(served):
     """&highlight=1 adds a per-hit snippet; ranks/scores unchanged."""
     url, searcher, *_ = served

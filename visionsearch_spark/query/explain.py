@@ -36,11 +36,14 @@ EXPLAIN_COLUMNS = ["term", "tf", "dl", "df", "idf", "tf_weight",
 
 
 def explain_rows(store: IndexStore, query_text: str, conv_id: str,
-                 turn_idx: int, spark: SparkSession) -> list[tuple]:
+                 turn_idx: int,
+                 spark: SparkSession | None = None) -> list[tuple]:
     """[(term, tf, dl, df, idf, tf_weight, contribution)] per matching
     query term, in sorted term order (the kernel's summation order).
     Empty when the doc doesn't exist, is tombstoned, or shares no term
-    with the query."""
+    with the query. Spark-free (pure pyarrow point lookups — `spark` is
+    accepted for signature symmetry and unused), so the serving tier can
+    call it in a request path."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 

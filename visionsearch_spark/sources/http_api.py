@@ -210,6 +210,30 @@ class ServingApp:
                         }
                     self._json(200, resp)
                     return
+                if u.path == "/explain":
+                    if not self._authed():
+                        return
+                    qs = urllib.parse.parse_qs(u.query)
+                    q = (qs.get("q") or [""])[0]
+                    conv = (qs.get("conv") or [""])[0]
+                    turn = int((qs.get("turn") or ["1"])[0])
+                    from visionsearch_spark.query.explain import (
+                        explain_rows,
+                        explained_total,
+                    )
+
+                    rows = explain_rows(app.searcher.store, q, conv, turn)
+                    self._json(200, {
+                        "query": q, "conv_id": conv, "turn_idx": turn,
+                        "score": explained_total(rows),
+                        "terms": [
+                            {"term": t, "tf": tf, "dl": dl, "df": df,
+                             "idf": idf, "tf_weight": tfw,
+                             "contribution": c}
+                            for t, tf, dl, df, idf, tfw, c in rows
+                        ],
+                    })
+                    return
                 if u.path.startswith("/files/") and app.static_dir:
                     if not self._authed():
                         return
