@@ -159,6 +159,21 @@ PERCOLATE_QUERIES = [(1, "join filter"), (2, "stream"), (3, "join dup"),
                      (4, "zzzznotaword")]
 
 
+KNN_K = 5
+
+
+def _knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join, exact method (the value oracle; the LSH method is
+    the scale path, pytest-pinned by recall + plan assertions)."""
+    from visionsearch_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    return knn_join(emb, k=KNN_K, method="exact").select(
+        "query_vec_id", "neighbor_id", "rank",
+        F.round("cos", 6).alias("cos"),
+    )
+
+
 def _percolate_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse search (operators/percolate.py): which registered queries
     match each document — conjunctive on analyzed terms; the alerting /
@@ -1088,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_querystring": _bm25_querystring,
             "bm25_explain": _bm25_explain,
             "percolate_queries": _percolate_queries,
+            "knn_join_exact": _knn_join_exact,
             "hybrid_rrf": _hybrid_rrf,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
@@ -1992,6 +2008,22 @@ def oracle_sql() -> dict[str, str]:
             f"i -> {toks}[i] || ' ' || {toks}[i+1]), 'table scan')"
         ),
     )
+    # k-NN self-join (exact method): every vector's k nearest neighbors
+    sql["knn_join_exact"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_vec_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM p
+)
+SELECT query_vec_id, neighbor_id, rnk AS rank, round(cos, 6) AS cos
+FROM r WHERE rnk <= {KNN_K}
+"""
     # reverse search: registered queries vs every document (conjunctive)
     from visionsearch_spark.operators.percolate import query_table
 

@@ -424,3 +424,42 @@ def test_ivfpq_trained_recall_on_driver_fixtures(spark, sf_dir,
                                     nprobe=8, rerank=40).collect()}
         recalls.append(len(exact & approx) / 10.0)
     assert sum(recalls) / len(recalls) >= 0.6, (sf_dir, recalls)
+
+
+def test_knn_join_lsh_recall_and_plan(spark, emb):
+    """LSH kNN-join: no cross product in the plan; recall vs the exact
+    join >= 0.9 on the fixtures; reported cosines exact for every
+    returned pair."""
+    from visionsearch_spark.operators.similarity import knn_join
+
+    exact = knn_join(emb, k=5, method="exact").collect()
+    approx_df = knn_join(emb, k=5, method="lsh")
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    approx = approx_df.collect()
+    want = {(r["query_vec_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_vec_id"], r["neighbor_id"]) for r in approx}
+    assert len(got & want) / len(want) >= 0.9
+    ecos = {(r["query_vec_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["query_vec_id"], r["neighbor_id"])
+        if key in ecos:  # any pair both paths report scores identically
+            assert r["cos"] == ecos[key]
+
+
+def test_knn_join_exact_is_symmetric_ground_truth(spark, emb):
+    """Exact kNN: per query, ranks are 1..k in (cos desc, id asc) order
+    and every neighbor really beats the k+1-th."""
+    from visionsearch_spark.operators.similarity import knn_join
+
+    rows = knn_join(emb.limit(50), k=3, method="exact").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_vec_id"], []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["cos"] >= b["cos"] for a, b in zip(rs, rs[1:]))
+        assert all(r["neighbor_id"] != qid for r in rs)

@@ -809,6 +809,76 @@ def ann_recall_at_k(
     )
 
 
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    method: str = "lsh",
+    n_planes: int = 32,
+    n_bands: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """k-NN self-join: (query_vec_id, neighbor_id, rank, cos) — every
+    vector's k nearest neighbors by cosine, rank 1-based in (cos desc,
+    neighbor_id asc) order. The similarity-join primitive behind
+    related-item graphs, embedding dedup sweeps, and graph-building for
+    label propagation.
+
+    method='exact': full self cross-join — O(n²), the oracle at test
+    scale ONLY (same contract as pairwise_neardup(exact=True)).
+    method='lsh': banded random-hyperplane candidates (identical
+    machinery/recall math as pairwise_neardup), per-query top-k via the
+    salted two-stage window — no cross product in the plan; reported
+    cosines exact, only recall approximate. At 10^12 rows candidate
+    volume is bucket-local and the window never funnels more than
+    |Q|·salt_buckets·k rows through one task."""
+    from pyspark.sql import Window
+
+    a = emb.select(F.col(id_col).alias("query_vec_id"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("vb"))
+    if method == "exact":
+        joined = a.crossJoin(b).filter(
+            F.col("query_vec_id") != F.col("neighbor_id"))
+    elif method == "lsh":
+        dim = len(emb.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        sig_udf = band_signature_udf(planes, n_bands)
+        keys = emb.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bsig"),
+        )
+        cands = (
+            keys.select(F.col("id").alias("query_vec_id"), "band", "bsig")
+            .join(keys.select(F.col("id").alias("neighbor_id"),
+                              "band", "bsig"), ["band", "bsig"])
+            .filter(F.col("query_vec_id") != F.col("neighbor_id"))
+            .select("query_vec_id", "neighbor_id")
+            .distinct()
+        )
+        joined = cands.join(a, "query_vec_id").join(b, "neighbor_id")
+    else:
+        raise ValueError(f"unknown knn_join method {method!r}")
+    scored = joined.select(
+        "query_vec_id", "neighbor_id",
+        cosine_col(F.col("va"), F.col("vb")).alias("cos"),
+    )
+    order = [F.desc("cos"), F.asc("neighbor_id")]
+    w1 = Window.partitionBy("query_vec_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_vec_id").orderBy(*order)
+    return (
+        scored.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(32)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def pairwise_neardup(
     emb: DataFrame,
     tau: float = 0.95,
