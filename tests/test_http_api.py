@@ -79,6 +79,25 @@ def test_search_endpoint_pagination(served):
     assert got == [(d, s) for d, _c, _t, s in exp]
 
 
+def test_suggest_endpoint(served):
+    """GET /suggest returns df-ranked dictionary completions matching
+    LocalSearcher.suggest; malformed prefixes 400 instead of 500."""
+    url, searcher, *_ = served
+    status, body = _get(f"{url}/suggest?prefix=fil&n=5")
+    assert status == 200
+    exp = searcher.suggest("fil", n=5)
+    assert [(s["term"], s["df"]) for s in body["suggestions"]] == exp
+    assert exp and all(t.startswith("fil") for t, _df in exp)
+    assert [df for _t, df in exp] == sorted(
+        (df for _t, df in exp), reverse=True)
+    import urllib.error
+    try:
+        _get(f"{url}/suggest?prefix=no*pe")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_explain_endpoint(served):
     """GET /explain returns the per-term breakdown whose reduceat total
     equals the served hit's score (Spark-free request path)."""

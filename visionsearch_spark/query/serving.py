@@ -305,6 +305,15 @@ class LocalSearcher:
             for d, s in zip(uniq, sums)
         ]
 
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: top-n dictionary completions of `prefix` as
+        (term, df), df-desc — the term dictionary IS the suggester
+        (Lucene's TermsComponent); driver-side pyarrow scan with prefix
+        range pushdown, no Spark job (multiterm.expand_prefix)."""
+        from visionsearch_spark.query.multiterm import expand_prefix
+
+        return expand_prefix(None, self.store, prefix, n, use_spark=False)
+
     def search_highlighted(self, query: str, k: int = 5,
                            threshold: float = 0.0,
                            term_weights: dict[str, float] | None = None,
@@ -397,6 +406,13 @@ class ShardedSearcher:
         ]
         hits.sort(key=lambda h: (-h[3], h[0]))  # score desc, docid asc
         return hits[:k]
+
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete over the FULL dictionary (term_stats spans every
+        shard group, so no scatter-gather needed)."""
+        from visionsearch_spark.query.multiterm import expand_prefix
+
+        return expand_prefix(None, self.store, prefix, n, use_spark=False)
 
     def search_highlighted(self, query: str, k: int = 5,
                            threshold: float = 0.0,

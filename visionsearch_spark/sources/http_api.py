@@ -210,6 +210,24 @@ class ServingApp:
                         }
                     self._json(200, resp)
                     return
+                if u.path == "/suggest":
+                    if not self._authed():
+                        return
+                    qs = urllib.parse.parse_qs(u.query)
+                    prefix = (qs.get("prefix") or [""])[0]
+                    n = int((qs.get("n") or ["10"])[0])
+                    try:
+                        terms = app.searcher.suggest(prefix, n=n)
+                    except ValueError as e:  # not a single analyzed token
+                        self._json(400, {"error": str(e)})
+                        return
+                    self._json(200, {
+                        "prefix": prefix,
+                        "suggestions": [
+                            {"term": t, "df": df} for t, df in terms
+                        ],
+                    })
+                    return
                 if u.path == "/explain":
                     if not self._authed():
                         return
