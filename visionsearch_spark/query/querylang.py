@@ -108,12 +108,22 @@ def parse_query(q: str) -> ParsedQuery:
             out.fuzzies.append((body.lower(), edits))
             continue
         if "*" in body or "?" in body:
-            toks = body.lower()
-            if toks.endswith("*") and "*" not in toks[:-1] \
-                    and "?" not in toks:
-                out.prefixes.append(toks[:-1])
+            pat = body.lower()
+            # only well-formed patterns become expansions; anything else
+            # (stray punctuation, bare metacharacters, no literal chars)
+            # degrades through the analyzer like other garbage — found
+            # by the parser fuzz: ':?' built an invalid wildcard and
+            # bare '*' an empty prefix, both exploding downstream
+            if not re.fullmatch(r"[0-9a-z*?]+", pat) \
+                    or not re.search(r"[0-9a-z]", pat):
+                for t in tokenize(body):
+                    _add_term(out, sign, t, boost)
+                continue
+            if pat.endswith("*") and "*" not in pat[:-1] \
+                    and "?" not in pat:
+                out.prefixes.append(pat[:-1])
             else:
-                out.wildcards.append(toks)
+                out.wildcards.append(pat)
             continue
         for t in tokenize(body):
             _add_term(out, sign, t, boost)
