@@ -153,6 +153,18 @@ def test_search_endpoint_prefix_param(served):
     assert status == 200 and body["hits"] == []
 
 
+def test_healthz_store_report(served):
+    url, searcher, *_ = served
+    status, body = _get(f"{url}/healthz")
+    assert status == 200
+    rep = body["store"]
+    assert rep["phase"] == "built"
+    assert rep["n_docs"] == searcher.n_docs
+    assert rep["live_segment_dirs"] >= 1
+    assert rep["components"]["segments"]["bytes"] > 0
+    assert rep["components"]["staged"]["files"] > 0
+
+
 def test_healthz(served):
     url, searcher, *_ = served
     status, body = _get(f"{url}/healthz")

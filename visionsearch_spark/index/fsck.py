@@ -251,6 +251,59 @@ def _finish(report: dict, strict: bool) -> None:
         raise StoreCorruption("; ".join(errors))
 
 
+def store_report(root: str) -> dict:
+    """Operational introspection — sizes, live-dir shape, delete load —
+    from directory metadata only (no parquet reads, no Spark). The
+    /healthz payload and the capacity-planning numbers an operator
+    watches: live-dir count approaching the compaction threshold, bytes
+    by component, pending tombstones awaiting a fold."""
+    from visionsearch_spark.index.store import IndexStore
+
+    store = IndexStore(root)
+    meta = store.read_meta() if os.path.exists(store.meta_path) else {}
+
+    def du(path: str) -> tuple[int, int]:
+        files = bytes_ = 0
+        for r, _d, fs in os.walk(path):
+            for f in fs:
+                files += 1
+                try:
+                    bytes_ += os.path.getsize(os.path.join(r, f))
+                except OSError:
+                    pass
+        return files, bytes_
+
+    comp = {}
+    for name, paths in (
+        ("staged", [store.staged_path]),
+        ("segments", store.segment_paths()),
+        ("term_stats", store.term_stats_paths()),
+        ("fragments", [store.fragments_dir]),
+        ("tombstones", [os.path.join(root, d) for d in
+                        (meta.get("tombstone_dirs") or [])
+                        + (meta.get("applied_tombstone_dirs") or [])]),
+    ):
+        f = b = 0
+        for p in paths:
+            if os.path.isdir(p):
+                df_, db_ = du(p)
+                f += df_
+                b += db_
+        comp[name] = {"files": f, "bytes": b}
+    return {
+        "phase": meta.get("phase"),
+        "epoch": store.current_epoch(),
+        "n_docs": meta.get("n_docs"),
+        "avgdl": meta.get("avgdl"),
+        "shard_range": meta.get("shard_range"),
+        "live_segment_dirs": len(meta.get("segment_dirs") or []),
+        "pending_tombstone_dirs": len(meta.get("tombstone_dirs") or []),
+        "applied_tombstone_dirs": len(
+            meta.get("applied_tombstone_dirs") or []),
+        "components": comp,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
 

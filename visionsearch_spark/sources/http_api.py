@@ -153,9 +153,12 @@ class ServingApp:
             def do_GET(self):
                 u = urllib.parse.urlparse(self.path)
                 if u.path == "/healthz":
+                    from visionsearch_spark.index.fsck import store_report
+
                     self._json(200, {
                         "n_docs": app.searcher.n_docs,
                         "avgdl": app.searcher.avgdl,
+                        "store": store_report(app.searcher.store.root),
                     })
                     return
                 if u.path == "/search":
