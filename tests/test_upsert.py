@@ -173,3 +173,30 @@ def test_delete_then_identical_reingest_reindexes(spark, transcripts,
     store = incremental_build(same_rows, store.root)
     got = _top(spark, store, "join filter", k=50)
     assert set(victims) <= {r["conv_id"] for r in got}
+
+
+def test_local_searcher_serves_upserted_store(spark, transcripts, store):
+    """Before the fold, the docmap holds BOTH copies of a replaced conv
+    (same (conv, turn) key, different docids) — the serving tier must
+    rank only the live one, and the in-process deny array must match
+    batch_topk's DENY sideband ranking exactly."""
+    from visionsearch_spark.query.serving import (
+        LocalSearcher,
+        ShardedSearcher,
+    )
+
+    victims = [r["conv_id"] for r in _top(spark, store, "join filter")[:2]]
+    delta = _replacement(spark, transcripts, victims)
+    store = upsert_convs(delta, store.root)
+    for searcher in (LocalSearcher(store), ShardedSearcher(store, 3)):
+        hits = searcher.search("xyzreplacement", k=50)
+        assert {h[1] for h in hits} == set(victims)
+        assert len(hits) == len(victims)  # exactly one live copy each
+        wide = searcher.search("join filter stream", k=500)
+        assert all(t == 1 for _d, c, t, _s in wide if c in victims)
+    # engine parity on the same store (deny sideband vs in-process mask)
+    eng = batch_topk(spark, store, [(0, "join filter stream", 30)]
+                     ).collect()
+    srv = LocalSearcher(store).search("join filter stream", k=30)
+    assert [(r["docid"]) for r in
+            sorted(eng, key=lambda r: r["rank"])] == [h[0] for h in srv]
