@@ -220,6 +220,33 @@ def _bm25_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_W = ("join filter stream", 0, 15, 40, 0.6)  # +alpha
+
+
+def _hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted hybrid fusion: alpha·minmax(BM25) + (1−alpha)·minmax(cos)
+    — the calibrated blend (query/hybrid.weighted_fuse), vs hybrid_rrf's
+    rank-only fusion."""
+    from visionsearch_spark.operators.similarity import cosine_topk_to_query
+    from visionsearch_spark.query.hybrid import hybrid_weighted_topk
+
+    qtext, qid, k, depth, alpha = HYBRID_W
+    store = get_documents_index(spark, sf_dir)
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    qvec = emb.filter(F.col("vec_id") == qid).select("embedding") \
+        .limit(1).collect()[0][0]
+    vec = cosine_topk_to_query(emb, list(qvec), k=depth).select(
+        F.format_string("doc-%010d", F.col("vec_id")).alias("conv_id"),
+        F.col("cos").alias("score"),
+    )
+    res = hybrid_weighted_topk(spark, store, qtext, vec, k=k,
+                               depth=depth, alpha=alpha)
+    return res.select(
+        doc_id_col().alias("doc_id"), "rank",
+        F.round("fused", 6).alias("fused"),
+    )
+
+
 BOOSTED_QUERY = ({"join": 1.0, "filter": 2.5, "stream": 0.5}, 20)
 # synonym expansion: base terms at 1.0, synonyms of 'filter' at 0.6 —
 # one real corpus term and one OOV (drops out on both sides)
@@ -1105,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "percolate_queries": _percolate_queries,
             "knn_join_exact": _knn_join_exact,
             "hybrid_rrf": _hybrid_rrf,
+            "hybrid_weighted": _hybrid_weighted,
             "bm25_after_delete": _bm25_after_delete,
             "bm25_after_purge": _bm25_after_purge,
             "bm25_after_upsert": _bm25_after_upsert,
@@ -1793,6 +1821,84 @@ FROM fused ORDER BY fused DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _hybrid_weighted_oracle(qtext: str, qvec_id: int, k: int, depth: int,
+                            alpha: float) -> str:
+    """DuckDB twin of hybrid_weighted_topk: min-max normalize each
+    depth-bounded list over its own rows (single-distinct-score list →
+    1.0), fused = alpha·norm_bm + (1−alpha)·norm_cos. The engine
+    computes (hi − lo) driver-side and the oracle in SQL — the same two
+    IEEE doubles subtracted, so the divisions agree exactly."""
+    toks = duckdb_tokens("text")
+    terms = ", ".join(f"('{t}')" for t in sorted(set(tokenize(qtext))))
+    beta = 1.0 - float(alpha)
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(len({toks})) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING(term) JOIN df USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id, score, row_number() OVER (
+    ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored QUALIFY r <= {depth}
+),
+bmn AS (
+  SELECT doc_id,
+         CASE WHEN (SELECT max(score) FROM bm) = (SELECT min(score) FROM bm)
+              THEN 1.0
+              ELSE (score - (SELECT min(score) FROM bm))
+                   / ((SELECT max(score) FROM bm) - (SELECT min(score) FROM bm))
+         END AS ns
+  FROM bm
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vec AS (
+  SELECT vec_id AS doc_id,
+         list_cosine_similarity(
+           v, (SELECT v FROM e WHERE vec_id = {qvec_id})) AS score,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(
+             v, (SELECT v FROM e WHERE vec_id = {qvec_id})) DESC,
+           vec_id ASC) AS r
+  FROM e QUALIFY r <= {depth}
+),
+vecn AS (
+  SELECT doc_id,
+         CASE WHEN (SELECT max(score) FROM vec) = (SELECT min(score) FROM vec)
+              THEN 1.0
+              ELSE (score - (SELECT min(score) FROM vec))
+                   / ((SELECT max(score) FROM vec) - (SELECT min(score) FROM vec))
+         END AS ns
+  FROM vec
+),
+fused AS (
+  SELECT coalesce(bmn.doc_id, vecn.doc_id) AS doc_id,
+         coalesce({alpha!r} * bmn.ns, 0.0)
+         + coalesce({beta!r} * vecn.ns, 0.0) AS fused
+  FROM bmn FULL JOIN vecn ON bmn.doc_id = vecn.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY fused DESC, doc_id ASC) AS rank,
+       round(fused, 6) AS fused
+FROM fused ORDER BY fused DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _unit_bm25_oracle(qtext: str, k: int) -> str:
     """DuckDB twin of units.unit_topk: per-unit BM25 under UNIT corpus
     stats (zero-token parts excluded), MAX collapse per doc, top-k with
@@ -2082,6 +2188,10 @@ WHERE tf.doc_id = (SELECT doc_id FROM top1)
     # hybrid BM25 + cosine retrieval, reciprocal-rank fusion
     sql["hybrid_rrf"] = _hybrid_oracle(
         HYBRID_QUERY[0], HYBRID_QUERY[1], HYBRID_QUERY[2], HYBRID_QUERY[3],
+    )
+    # weighted hybrid: min-max normalized alpha blend
+    sql["hybrid_weighted"] = _hybrid_weighted_oracle(
+        HYBRID_W[0], HYBRID_W[1], HYBRID_W[2], HYBRID_W[3], HYBRID_W[4],
     )
     # query-time boosting: per-term multipliers in the score sum
     sql["bm25_boosted"] = _bm25_oracle(

@@ -78,3 +78,56 @@ def test_hybrid_matches_manual_fusion(spark, store):
     assert [r["conv_id"] for r in got] == want
     for r in got:
         assert math.isclose(r["fused"], fused[r["conv_id"]], rel_tol=1e-15)
+
+
+def test_weighted_fuse_arithmetic(spark):
+    from visionsearch_spark.query.hybrid import weighted_fuse
+
+    a = spark.createDataFrame([("x", 10.0), ("y", 5.0), ("z", 0.0)],
+                              "conv_id string, score double")
+    b = spark.createDataFrame([("y", 2.0), ("w", 1.0)],
+                              "conv_id string, score double")
+    got = {r["conv_id"]: r["fused"]
+           for r in weighted_fuse([(a, 0.75), (b, 0.25)], k=10).collect()}
+    # a normalizes x=1, y=.5, z=0; b (two rows) y=1, w=0
+    want = {"x": 0.75, "y": 0.75 * 0.5 + 0.25, "z": 0.0, "w": 0.0}
+    assert set(got) == set(want)
+    for cid, f in want.items():
+        assert math.isclose(got[cid], f, rel_tol=1e-15), cid
+
+
+def test_weighted_fuse_constant_and_empty_lists(spark):
+    from visionsearch_spark.query.hybrid import weighted_fuse
+
+    const = spark.createDataFrame([("a", 3.0), ("b", 3.0)],
+                                  "conv_id string, score double")
+    empty = spark.createDataFrame([], "conv_id string, score double")
+    got = {r["conv_id"]: r["fused"]
+           for r in weighted_fuse([(const, 0.5), (empty, 0.5)],
+                                  k=5).collect()}
+    assert got == {"a": 0.5, "b": 0.5}  # constant list -> presence at 1.0
+
+
+def test_hybrid_weighted_alpha_extremes(spark, store):
+    """alpha=1 reduces to normalized BM25 order; alpha=0 to the vector
+    list's order."""
+    from visionsearch_spark.query.hybrid import hybrid_weighted_topk
+
+    vec = spark.createDataFrame(
+        [(f"conv-{i:06d}", 1.0 - i / 10.0) for i in range(1, 9)],
+        "conv_id string, score double")
+    bm_only = hybrid_weighted_topk(spark, store, "join filter", vec,
+                                   k=5, alpha=1.0).collect()
+    full = batch_topk(spark, store, [(0, "join filter", 50)]).collect()
+    bm_convs = {}
+    for r in full:
+        bm_convs[r["conv_id"]] = max(bm_convs.get(r["conv_id"], 0.0),
+                                     r["score"])
+    want = sorted(bm_convs, key=lambda c: (-bm_convs[c], c))[:5]
+    assert [r["conv_id"] for r in
+            sorted(bm_only, key=lambda r: r["rank"])] == want
+    vec_only = hybrid_weighted_topk(spark, store, "join filter", vec,
+                                    k=3, alpha=0.0).collect()
+    assert [r["conv_id"] for r in
+            sorted(vec_only, key=lambda r: r["rank"])] == \
+        ["conv-000001", "conv-000002", "conv-000003"]

@@ -58,6 +58,73 @@ def rrf_fuse(lists: list[DataFrame], k: int = 10, c: int = RRF_C,
     )
 
 
+def weighted_fuse(lists: list[tuple[DataFrame, float]], k: int = 10,
+                  id_col: str = "conv_id") -> DataFrame:
+    """Score-based fusion: each list is a DataFrame (id_col, score);
+    min-max normalize every list over its OWN depth-bounded rows, then
+    fused = Σ weight_i · norm_i (absent from a list = 0). The calibrated
+    alternative to RRF — use when the score scales are meaningful and a
+    tunable text-vs-vector blend (alpha) is wanted; RRF when they're
+    not. A single-distinct-score list normalizes to 1.0 (a constant
+    list carries presence information only). Normalization constants
+    come from two scalar aggs per list — the lists are top-`depth` jobs,
+    so this is driver-trivial at any corpus size."""
+    if not lists:
+        raise ValueError("weighted_fuse needs at least one scored list")
+    parts = []
+    for i, (df, wgt) in enumerate(lists):
+        row = df.agg(F.min("score").alias("lo"),
+                     F.max("score").alias("hi")).collect()[0]
+        if row["lo"] is None:  # empty list: contributes nothing
+            continue
+        lo, hi = float(row["lo"]), float(row["hi"])
+        norm = (F.lit(1.0) if hi == lo
+                else (F.col("score") - F.lit(lo)) / F.lit(hi - lo))
+        parts.append(df.select(
+            F.col(id_col), (F.lit(float(wgt)) * norm).alias(f"_w{i}")))
+    if not parts:
+        spark = lists[0][0].sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} string, rank int, fused double")
+    joined = reduce(lambda a, b: a.join(b, id_col, "full"), parts)
+    cols = [c for c in joined.columns if c.startswith("_w")]
+    fused = reduce(
+        lambda acc, c: acc + F.coalesce(F.col(c), F.lit(0.0)),
+        cols[1:], F.coalesce(F.col(cols[0]), F.lit(0.0)),
+    )
+    w = Window.orderBy(F.desc("fused"), F.asc(id_col))
+    return (
+        joined.select(F.col(id_col), fused.alias("fused"))
+        .orderBy(F.desc("fused"), F.asc(id_col)).limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, "rank", "fused")
+    )
+
+
+def hybrid_weighted_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query_text: str,
+    vector_scored: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weighted hybrid: alpha · norm(BM25) + (1−alpha) · norm(cosine).
+    vector_scored: (conv_id, score) — the vector list's scores (e.g.
+    cosine), mapped to conv ids by the caller. The BM25 list collapses
+    to conv level (max score = best turn) before fusion, mirroring
+    hybrid_topk's min-rank collapse."""
+    from visionsearch_spark.query.wand import batch_topk
+
+    bm = (
+        batch_topk(spark, store, [(0, query_text, depth)])
+        .groupBy("conv_id").agg(F.max("score").alias("score"))
+    )
+    return weighted_fuse([(bm, float(alpha)),
+                          (vector_scored, 1.0 - float(alpha))], k=k)
+
+
 def hybrid_topk(
     spark: SparkSession,
     store: IndexStore,
