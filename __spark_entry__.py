@@ -1195,7 +1195,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "topk_per_group": _topk_per_group,
         }
     )
-    return {name: _shipped(fn) for name, fn in q.items()}
+    return {name: _shipped(fn) for name, fn in _rotate_for_driver(q).items()}
+
+
+# Driver-window rotation policy (VERDICT r5, Next-round #1). The external
+# oracle value-checks only the FIRST 50 entries of queries(); everything
+# after slot 50 is graded on this repo's own oracles only. So each round the
+# dict is ordered:
+#   tier 1 — _ROUND_CHANGED: rows whose operator code changed this round or
+#            that have never had a driver-green row (MUST be re-checked);
+#   tier 2 — rows absent from last round's CORRECTNESS file (complement of
+#            _CHECKED_LAST_ROUND below) — stale by one round;
+#   tier 3 — rows green last round (safest to fall outside the window).
+# Invariant: as long as |tier1| + |tier2| <= 50, no row ever goes more than
+# two consecutive rounds without an external value check. Update BOTH lists
+# every round: _CHECKED_LAST_ROUND from CORRECTNESS_r{N-1}.json keys,
+# _ROUND_CHANGED from this round's operator diffs.
+
+# keys of CORRECTNESS_r05.json (50 rows, all green)
+_CHECKED_LAST_ROUND = {
+    "bm25_topk_hot", "bm25_topk_tail", "bm25_topk_single", "bm25_batch",
+    "bm25_filtered", "bm25_page2", "bm25_boosted", "bm25_synonyms",
+    "bm25_querystring", "bm25_explain", "percolate_queries",
+    "knn_join_exact", "hybrid_rrf", "hybrid_weighted", "bm25_after_delete",
+    "bm25_after_purge", "bm25_after_upsert", "bm25_phrase",
+    "bm25_proximity", "bm25_boolean", "bm25_prefix", "bm25_wildcard",
+    "bm25_fuzzy", "search_facets", "search_match_count", "bm25_unit_topk",
+    "bm25_fielded", "token_count", "term_df_top", "corpus_stats",
+    "dedup_exact", "threshold_topk_events", "turn_numbering",
+    "session_window_1h", "antijoin_orders_no_lineitem",
+    "groupby_event_type", "cosine_topk", "dedup_minhash_lsh",
+    "dedup_minhash_stream", "dedup_ngram_jaccard", "cross_contamination",
+    "ngram_decontaminate", "mixture_sample", "dedup_clusters",
+    "dedup_corpus", "simhash64", "simhash_neardup", "lang_id",
+    "quality_score", "token_length_stats",
+}
+
+# Round 6: never driver-checked (bigram_lm_nll/tfidf_keywords/related_docs),
+# guard changed in r5 (mixture_weights), or operator changed in r6
+# (bigram_lm_nll plan fix; bm25_phrase/bm25_proximity positional path;
+# percolate_queries must_not+phrase clauses).
+_ROUND_CHANGED = [
+    "bigram_lm_nll", "tfidf_keywords", "related_docs", "mixture_weights",
+    "bm25_phrase", "bm25_proximity", "percolate_queries",
+]
+
+
+def _rotate_for_driver(q: dict) -> dict:
+    tier1 = [n for n in _ROUND_CHANGED if n in q]
+    tier2 = [n for n in q if n not in _CHECKED_LAST_ROUND and n not in tier1]
+    tier3 = [n for n in q if n in _CHECKED_LAST_ROUND and n not in tier1]
+    assert len(tier1) + len(tier2) <= 50, (
+        "rotation invariant broken: stale rows exceed the driver window"
+    )
+    return {n: q[n] for n in tier1 + tier2 + tier3}
 
 
 # ---------------------------------------------------------------------------

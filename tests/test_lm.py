@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import collections
 import math
+import re
 
 import pytest
 
@@ -74,6 +75,51 @@ def test_bigram_lm_nll_orders_quality(docs_df):
     assert got[6] < got[0]
     # no-bigram docs: defined zero, not null/missing
     assert got[4] == 0.0 and got[5] == 0.0
+
+
+def _art_depth(line: str) -> int:
+    """Column where the operator name starts in a Spark plan-tree line
+    (length of the ':  +- ' art prefix, codegen '*(N) ' marker stripped)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def test_bigram_nll_no_occurrence_exchange_on_w1(spark, docs_df):
+    """Plan pin for the r6 fix (VERDICT r5 'What's wrong #2'): no exchange
+    keyed by the Zipf-skewed w1 ALONE may move occurrence-shaped rows.
+    Every single-key-w1 Exchange must sit over a chain of unary nodes that
+    reaches a HashAggregate keyed (w1, w2) — i.e. distinct-bigram
+    granularity — before any Join / Generate / Scan (which would mean the
+    raw exploded pair stream is being shuffled on w1)."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = bigram_lm_nll(docs_df)._jdf.queryExecution(
+        ).executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    lines = plan.splitlines()
+    singles = [
+        i for i, ln in enumerate(lines)
+        if re.search(r"Exchange hashpartitioning\(w1#\d+, \d+\)", ln)
+    ]
+    assert singles, "expected the model-side single-w1 exchanges to exist"
+    for i in singles:
+        d = _art_depth(lines[i])
+        ok = False
+        for ln in lines[i + 1:]:
+            if _art_depth(ln) <= d:
+                break  # left the exchange's subtree
+            body = ln[_art_depth(ln):]
+            if re.match(r"(\*\(\d+\) )?HashAggregate\(keys=\[w1#\d+, w2#",
+                        body):
+                ok = True
+                break
+            if re.search(r"Join|Generate|Scan", body):
+                break
+        assert ok, f"occurrence-shaped exchange keyed on w1 alone:\n{lines[i]}"
 
 
 def _py_tfidf(k=3):
