@@ -360,9 +360,11 @@ BOOLEAN_QUERY = (["join"], ["filter", "stream"], ["dup"], 20)
 
 
 def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-phrase top-k: conjunctive index candidates -> staged-text
-    adjacency verify -> BM25 over the phrase's terms among matches
-    (query/boolean.phrase_topk; global stats unchanged)."""
+    """Exact-phrase top-k on the POSITIONAL path (r6): adjacency verified
+    by intersecting per-term pos_bin payloads on the zero-shuffle
+    file-aligned plan — no staged-text scan — then BM25 over the
+    phrase's terms among matches (query/boolean.phrase_topk; global
+    stats unchanged)."""
     from visionsearch_spark.query.boolean import phrase_topk
 
     qtext, k = PHRASE_QUERY
@@ -377,9 +379,11 @@ PROXIMITY_QUERY = (["table", "scan"], 6, 20)
 
 
 def _bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proximity search (Lucene SpanNear, inOrder=false): rank only docs
-    where every term co-occurs inside a 6-token window, BM25 over those
-    terms with global stats unchanged (query/boolean.proximity_topk)."""
+    """Proximity search (Lucene SpanNear, inOrder=false) on the r6
+    positional path: the window check is a vectorized sliding count over
+    pos_bin payloads; rank only docs where every term co-occurs inside a
+    6-token window, BM25 over those terms with global stats unchanged
+    (query/boolean.proximity_topk)."""
     from visionsearch_spark.query.boolean import proximity_topk
 
     terms, window, k = PROXIMITY_QUERY

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from visionsearch_spark.index.spimi import build_index
 from visionsearch_spark.index.store import IndexStore
 
-CACHE_VERSION = "v2"  # v2: segment schema (max_tf,min_dl) replaced block_max
+CACHE_VERSION = "v3"  # v3: positional postings (pos_bin) in the main store
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +49,9 @@ def get_documents_index(spark: SparkSession, sf_dir: str,
     if os.path.exists(store.meta_path) and store.read_meta().get("phase") == "built":
         return store
     tx = documents_as_transcripts(spark, sf_dir)
-    return build_index(tx, root, n_partitions=n_partitions)
+    # positions=True: the shared contract store exercises the positional
+    # phrase/proximity verify (bm25_phrase / bm25_proximity rows)
+    return build_index(tx, root, n_partitions=n_partitions, positions=True)
 
 
 # deterministic delete set for the delete/purge contract rows: every

@@ -69,6 +69,41 @@ def decode_varint(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+def encode_positions(pos: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Flat token-position array (ascending within each doc) for a run of
+    postings with per-doc occurrence counts `tfs` -> per-doc delta
+    (first-of-doc absolute) varint bytes. Because every doc's first delta
+    is absolute, any doc-boundary-aligned SLICE of the delta stream is
+    itself a valid encoding — compaction re-chunks and delete-masking
+    filters by slicing deltas, never re-deriving absolutes."""
+    p = np.ascontiguousarray(pos, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    deltas = np.empty_like(p)
+    deltas[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(t)[:-1]))
+    deltas[starts] = p[starts]
+    if (deltas < 0).any():
+        raise ValueError("positions must be ascending within each doc")
+    return encode_varint(deltas.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions: flat absolute positions (int64),
+    aligned with np.repeat(docids, tfs)."""
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = int(t.sum())
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    deltas = decode_varint(buf, n).astype(np.int64)
+    c = np.cumsum(deltas)
+    ends = np.cumsum(t)
+    seg_base = np.concatenate(([0], c[ends[:-1] - 1]))
+    return c - np.repeat(seg_base, t)
+
+
 def encode_docids(docids: np.ndarray) -> bytes:
     """Sorted int64 docids -> delta(first absolute) varint bytes."""
     d = np.ascontiguousarray(docids, dtype=np.int64)

@@ -176,6 +176,57 @@ def fsck(root: str, strict: bool = False) -> dict:
                 else:
                     seen[s] = os.path.basename(p)
 
+    # ---- positions sidecar column (positional stores only) ---------------
+    if meta.get("positions"):
+        rec = check("positions")
+        from visionsearch_spark.index.codec import (
+            decode_positions,
+            decode_varint,
+        )
+
+        for d in store.segment_paths():
+            for p in _parquet_files(d):
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                if "pos_bin" not in idx:
+                    err(rec, f"{os.path.basename(p)}: positional store "
+                             "but no pos_bin column — rebuild via "
+                             "compact_store")
+                    continue
+                nulls = sum(
+                    md.row_group(g).column(idx["pos_bin"]).statistics
+                    .null_count
+                    for g in range(md.num_row_groups)
+                    if md.row_group(g).column(idx["pos_bin"]).statistics
+                    is not None
+                )
+                if nulls:
+                    err(rec, f"{os.path.basename(p)}: {nulls} block(s) "
+                             "with NULL pos_bin in a positional store")
+                    continue
+                # one decoded block per file: positions align with tfs
+                # (occurrence counts) and stay below the doc length
+                head = pf.read_row_group(
+                    0, columns=["n", "tfs_bin", "dls_bin", "pos_bin"]
+                ).slice(0, 1).to_pylist()
+                if head:
+                    row = head[0]
+                    tf = decode_varint(row["tfs_bin"],
+                                       int(row["n"])).astype(np.int64)
+                    try:
+                        pos = decode_positions(row["pos_bin"], tf)
+                    except Exception as e:  # torn payload
+                        err(rec, f"{os.path.basename(p)}: pos_bin does "
+                                 f"not decode ({e})")
+                        continue
+                    dl = decode_varint(row["dls_bin"],
+                                       int(row["n"])).astype(np.int64)
+                    if pos.size and (pos >= np.repeat(dl, tf)).any():
+                        err(rec, f"{os.path.basename(p)}: position >= "
+                                 "doc length in first block")
+
     # ---- epochs ----------------------------------------------------------
     rec = check("epochs")
     n_seg = len(store.segment_paths())

@@ -82,6 +82,7 @@ _FRAGMENT_PA_SCHEMA = pa.schema(
         ("dls_bin", pa.binary()),
         ("max_tf", pa.int32()),
         ("min_dl", pa.int32()),
+        ("pos_bin", pa.binary()),
     ]
 )
 
@@ -93,13 +94,19 @@ def _tf_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
-                        dls: np.ndarray, shard_range: int) -> list[tuple]:
+                        dls: np.ndarray, shard_range: int,
+                        pos: np.ndarray | None = None) -> list[tuple]:
     """Cut one term's (sorted-by-docid) postings into blocks of <=BLOCK_SIZE
     that never cross a docid-shard boundary; encode each block. Pruning
     metadata is (max_tf, min_dl) — avgdl-independent, so blocks stay valid
     across appends that shift corpus stats (the query side derives the
-    tf-weight upper bound under the CURRENT avgdl)."""
-    from visionsearch_spark.index.codec import encode_docids, encode_varint
+    tf-weight upper bound under the CURRENT avgdl). `pos` (positional
+    stores): flat token positions aligned with np.repeat(docids, tfs)."""
+    from visionsearch_spark.index.codec import (
+        encode_docids,
+        encode_positions,
+        encode_varint,
+    )
 
     rows = []
     shards = docids // shard_range
@@ -107,6 +114,8 @@ def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
     cut = np.flatnonzero(shards[1:] != shards[:-1]) + 1
     starts = np.concatenate(([0], cut))
     ends = np.concatenate((cut, [docids.size]))
+    occ = (np.concatenate(([0], np.cumsum(tfs)))
+           if pos is not None else None)
     for s, e in zip(starts, ends):
         for b0 in range(s, e, BLOCK_SIZE):
             b1 = min(b0 + BLOCK_SIZE, e)
@@ -122,14 +131,20 @@ def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
                     encode_varint(dls[b0:b1].astype(np.uint64)),
                     int(tfs[b0:b1].max()),
                     int(dls[b0:b1].min()),
+                    (encode_positions(pos[occ[b0]:occ[b1]], tfs[b0:b1])
+                     if pos is not None else None),
                 )
             )
     return rows
 
 
 def _make_spimi_fn(store_root: str, shard_range: int,
-                   fail_pids: frozenset[int]):
-    """Returns the mapInArrow function for the SPIMI stage."""
+                   fail_pids: frozenset[int], positions: bool = False):
+    """Returns the mapInArrow function for the SPIMI stage. With
+    `positions` the kernel accumulates the OCCURRENCE stream (term,
+    docid, dl, pos) instead of pre-counted postings — ~tf/posting more
+    rows through the flush sort, which is why the feature is an opt-in
+    store flag rather than always-on (meta['positions'])."""
 
     def spimi(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         store = IndexStore(store_root)
@@ -149,21 +164,43 @@ def _make_spimi_fn(store_root: str, shard_range: int,
                         "postings_written": 0, "terms_merged": 0,
                         "bytes_compressed": 0, "lineage": "{}",
                         "ts": str(time.time())}
-            pdf = pd.concat(acc, ignore_index=True) if acc else pd.DataFrame(
-                columns=["term", "docid", "tf", "dl"])
-            pdf = pdf.sort_values(["term", "docid"], kind="mergesort")
-            terms = pdf["term"].to_numpy()
-            docids = pdf["docid"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            pos_flat: np.ndarray | None = None
+            if positions:
+                pdf = pd.concat(acc, ignore_index=True) if acc else \
+                    pd.DataFrame(columns=["term", "docid", "dl", "pos"])
+                pdf = pdf.sort_values(["term", "docid", "pos"],
+                                      kind="mergesort")
+                t_o = pdf["term"].to_numpy()
+                d_o = pdf["docid"].to_numpy(dtype=np.int64)
+                pos_flat = pdf["pos"].to_numpy(dtype=np.int64)
+                newp = np.ones(len(pdf), dtype=bool)
+                if len(pdf) > 1:
+                    newp[1:] = (t_o[1:] != t_o[:-1]) | (d_o[1:] != d_o[:-1])
+                pstarts = np.flatnonzero(newp)
+                terms = t_o[pstarts]
+                docids = d_o[pstarts]
+                dls = pdf["dl"].to_numpy(dtype=np.int64)[pstarts]
+                tfs = np.diff(np.concatenate((pstarts, [len(pdf)])))
+            else:
+                pdf = pd.concat(acc, ignore_index=True) if acc else \
+                    pd.DataFrame(columns=["term", "docid", "tf", "dl"])
+                pdf = pdf.sort_values(["term", "docid"], kind="mergesort")
+                terms = pdf["term"].to_numpy()
+                docids = pdf["docid"].to_numpy(dtype=np.int64)
+                tfs = pdf["tf"].to_numpy(dtype=np.int64)
+                dls = pdf["dl"].to_numpy(dtype=np.int64)
             bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1 if terms.size else np.array([], dtype=np.int64)
             starts = np.concatenate(([0], bounds)) if terms.size else np.array([], dtype=np.int64)
             ends = np.concatenate((bounds, [terms.size])) if terms.size else np.array([], dtype=np.int64)
+            occ_of = (np.concatenate(([0], np.cumsum(tfs)))
+                      if positions else None)
             rows: list[tuple] = []
             for s, e in zip(starts, ends):
                 rows.extend(_encode_term_blocks(
                     str(terms[s]), docids[s:e], tfs[s:e], dls[s:e],
-                    shard_range))
+                    shard_range,
+                    pos=(pos_flat[occ_of[s]:occ_of[e]]
+                         if positions else None)))
             tbl = pa.Table.from_arrays(
                 [pa.array([r[i] for r in rows], type=f.type)
                  for i, f in enumerate(_FRAGMENT_PA_SCHEMA)],
@@ -209,12 +246,19 @@ def _make_spimi_fn(store_root: str, shard_range: int,
                     {"docid": grp["docid"], "dl": grp["dl"], "term": toks}
                 ).explode("term")
                 ex = ex[ex["term"].notna() & (ex["term"] != "")]
-                counts = (
-                    ex.groupby(["term", "docid", "dl"], sort=False)
-                    .size()
-                    .reset_index(name="tf")
-                )
-                acc.append(counts[["term", "docid", "tf", "dl"]])
+                if positions:
+                    # token index within the ANALYZED list (empties
+                    # dropped first) — the coordinate the phrase verify
+                    # intersects on, identical to analyzer.tokenize order
+                    ex = ex.assign(pos=ex.groupby("docid").cumcount())
+                    acc.append(ex[["term", "docid", "dl", "pos"]])
+                else:
+                    counts = (
+                        ex.groupby(["term", "docid", "dl"], sort=False)
+                        .size()
+                        .reset_index(name="tf")
+                    )
+                    acc.append(counts[["term", "docid", "tf", "dl"]])
         if cur_pid is not None:
             out.append(flush(cur_pid))
         if out:
@@ -232,6 +276,7 @@ def build_index(
     n_partitions: int | None = None,
     n_shards: int | None = None,
     fail_partitions: frozenset[int] | set[int] = frozenset(),
+    positions: bool = False,
 ) -> IndexStore:
     """Build (or resume) the compressed index at `root`.
 
@@ -239,6 +284,12 @@ def build_index(
     used by the resume tests to simulate an interrupted build
     (the reference's KeyboardInterrupt-then-rerun contract,
     `generate_captions.py:100-102`).
+
+    `positions` writes per-term token-position payloads (pos_bin) into
+    every block — the store flag is fixed here and inherited by appends
+    and compactions, so live dirs are always internally consistent;
+    phrase/proximity queries then verify on the index instead of
+    re-tokenizing staged text (query/boolean.py positional path).
     """
     spark = transcripts.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
@@ -305,6 +356,7 @@ def build_index(
                 "n_partitions": n_partitions,
                 "n_shards": n_shards_eff,
                 "block_size": BLOCK_SIZE,
+                "positions": bool(positions),
                 "phase": "staged",
             }
         )
@@ -367,7 +419,10 @@ def spimi_pending(spark: SparkSession, store: IndexStore, shard_range: int,
             pending = staged.filter(~F.col("pid").isin(sorted(done)))
     if pending.isEmpty():
         return False
-    spimi_fn = _make_spimi_fn(store.root, shard_range, fail_pids)
+    # the store-level positions flag (set once at build) decides whether
+    # THIS run emits pos_bin — builds, appends and repairs all agree
+    spimi_fn = _make_spimi_fn(store.root, shard_range, fail_pids,
+                              positions=store.has_positions())
     (
         pending.select("pid", "docid", "dl", "text")
         .repartition(n_partitions, "pid")
@@ -403,13 +458,14 @@ def _mask_fragments(frags: DataFrame, dead: DataFrame,
     from visionsearch_spark.query.wand import DENY_TERM, _sideband_rows
 
     in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
-               "tfs_bin", "dls_bin", "max_tf", "min_dl"]
+               "tfs_bin", "dls_bin", "max_tf", "min_dl", "pos_bin"]
     side = _sideband_rows(dead.select("docid"), shard_range, DENY_TERM) \
         .select(
             "term",
             F.lit(None).cast("long").alias("min_docid"),
             F.lit(None).cast("long").alias("max_docid"),
             "n", "docids_bin", "tfs_bin", "dls_bin", "max_tf", "min_dl",
+            F.lit(None).cast("binary").alias("pos_bin"),
             "shard",
         )
     tagged = frags.select(
@@ -453,14 +509,25 @@ def _mask_fragments(frags: DataFrame, dead: DataFrame,
                     rows.append(tuple(getattr(row, c) for c in in_cols))
                     continue
                 d2 = d[keep]
-                tf = decode_varint(row.tfs_bin, row.n)[keep]
+                tf_all = decode_varint(row.tfs_bin, row.n).astype(np.int64)
+                tf = tf_all[keep]
                 dl = decode_varint(row.dls_bin, row.n)[keep]
+                pos_bytes = row.pos_bin
+                if pos_bytes is not None:
+                    # positions are per-doc-reset deltas: dropping whole
+                    # docs' spans keeps the remaining stream valid
+                    # (every kept doc still starts with its absolute)
+                    deltas = decode_varint(pos_bytes, int(tf_all.sum()))
+                    pos_bytes = encode_varint(
+                        deltas[np.repeat(keep, tf_all)]
+                    )
                 rows.append((
                     row.term, int(d2[0]), int(d2[-1]), int(d2.size),
                     encode_docids(d2),
                     encode_varint(tf.astype(np.uint64)),
                     encode_varint(dl.astype(np.uint64)),
                     int(tf.max()), int(dl.min()),
+                    pos_bytes,
                 ))
             tables = []
             if len(clean):
@@ -653,11 +720,13 @@ def _compact_segments(frags: DataFrame, shard_range: int,
         ("max_docid", pa.int64()), ("n", pa.int32()),
         ("docids_bin", pa.binary()), ("tfs_bin", pa.binary()),
         ("dls_bin", pa.binary()), ("max_tf", pa.int32()),
-        ("min_dl", pa.int32()), ("shard", pa.int64()),
+        ("min_dl", pa.int32()), ("pos_bin", pa.binary()),
+        ("shard", pa.int64()),
     ]
     out_pa_schema = pa.schema(out_fields)
     in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
-               "tfs_bin", "dls_bin", "max_tf", "min_dl", "shard"]
+               "tfs_bin", "dls_bin", "max_tf", "min_dl", "pos_bin",
+               "shard"]
 
     def compact_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pdfs = [b.to_pandas() for b in batches]
@@ -680,17 +749,29 @@ def _compact_segments(frags: DataFrame, shard_range: int,
         dbins = pdf["docids_bin"].to_numpy()
         tbins = pdf["tfs_bin"].to_numpy()
         lbins = pdf["dls_bin"].to_numpy()
+        pbins = pdf["pos_bin"].to_numpy()
         rows: list[tuple] = []
         for s, e in work:
             idx = list(range(s, e))
             idx.sort(key=lambda i: mins[i])
             docids = np.concatenate([decode_docids(dbins[i], ns[i]) for i in idx])
-            tfs = np.concatenate(
-                [decode_varint(tbins[i], ns[i]) for i in idx]
-            ).astype(np.int64)
+            per_tf = [decode_varint(tbins[i], ns[i]).astype(np.int64)
+                      for i in idx]
+            tfs = np.concatenate(per_tf)
             dls = np.concatenate(
                 [decode_varint(lbins[i], ns[i]) for i in idx]
             ).astype(np.int64)
+            # per-doc-reset position DELTAS concatenate and re-slice at
+            # doc boundaries without touching absolutes; a run with any
+            # positionless block degrades the whole run to NULL (can only
+            # happen on mixed legacy data — flag-built stores are uniform)
+            pos_deltas = None
+            if all(pbins[i] is not None for i in idx):
+                pos_deltas = np.concatenate(
+                    [decode_varint(pbins[i], int(per_tf[j].sum()))
+                     for j, i in enumerate(idx)]
+                )
+            occ = np.concatenate(([0], np.cumsum(tfs)))
             term, shard = terms[s], int(shards[s])
             for b0 in range(0, docids.size, BLOCK_SIZE):
                 b1 = min(b0 + BLOCK_SIZE, docids.size)
@@ -702,6 +783,8 @@ def _compact_segments(frags: DataFrame, shard_range: int,
                         encode_varint(tfs[b0:b1].astype(np.uint64)),
                         encode_varint(dls[b0:b1].astype(np.uint64)),
                         int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
+                        (encode_varint(pos_deltas[occ[b0]:occ[b1]])
+                         if pos_deltas is not None else None),
                         shard,
                     )
                 )

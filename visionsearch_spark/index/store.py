@@ -38,10 +38,16 @@ from dataclasses import dataclass
 # tf_weight(max_tf, min_dl, avgdl_now) is a valid upper bound under ANY
 # current avgdl — blocks never go stale when appends shift corpus stats,
 # which is what makes segments immutable across appends.
+# pos_bin (nullable, r6): per-doc delta+varint token positions aligned
+# with the block's postings (occurrence counts = decoded tfs_bin) —
+# written only for stores built with positions=True (meta["positions"]).
+# Scoring kernels never select it, so parquet column pruning keeps the
+# ranked path byte-identical in cost; phrase/proximity verify reads it
+# instead of re-tokenizing staged text (query/boolean.py).
 SEGMENT_SCHEMA_DDL = (
     "term string, min_docid long, max_docid long, n int, "
     "docids_bin binary, tfs_bin binary, dls_bin binary, "
-    "max_tf int, min_dl int"
+    "max_tf int, min_dl int, pos_bin binary"
 )
 
 MANIFEST_SCHEMA_DDL = (
@@ -173,6 +179,14 @@ class IndexStore:
     def read_meta(self) -> dict:
         with open(self.meta_path) as f:
             return json.load(f)
+
+    def has_positions(self) -> bool:
+        """True iff this store was built with the positional-postings
+        option (meta['positions']) — the flag is fixed at build time so
+        every live dir is consistent; legacy stores default to False."""
+        if not os.path.exists(self.meta_path):
+            return False
+        return bool(self.read_meta().get("positions"))
 
     def fragment_path(self, pid: int) -> str:
         return os.path.join(self.fragments_dir, f"fragment-{pid:05d}.parquet")
