@@ -158,6 +158,27 @@ EXPLAIN_QUERY = "join filter stream"
 PERCOLATE_QUERIES = [(1, "join filter"), (2, "stream"), (3, "join dup"),
                      (4, "zzzznotaword")]
 
+# r6 percolator clauses: negation + exact-phrase (2-token phrases so the
+# DuckDB twin can verify adjacency over ONE bigram table)
+PERCOLATE_ADV_QUERIES = [
+    (1, {"must": "join", "must_not": "dup"}),
+    (2, {"phrases": ["table scan"]}),
+    (3, {"must": "filter", "phrases": ["join filter"],
+         "must_not": "zzzznotaword"}),
+    (4, "stream checkpoint"),
+]
+
+
+def _percolate_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation with Lucene-shaped clauses (r6): must conjunctive,
+    must_not excludes on any hit, phrases verified as exact analyzed
+    token sequences over candidate docs only (operators/percolate.py)."""
+    from visionsearch_spark.operators.percolate import percolate
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return percolate(docs, PERCOLATE_ADV_QUERIES) \
+        .orderBy("doc_id", "query_id")
+
 
 KNN_K = 5
 
@@ -1134,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_querystring": _bm25_querystring,
             "bm25_explain": _bm25_explain,
             "percolate_queries": _percolate_queries,
+            "percolate_advanced": _percolate_advanced,
             "knn_join_exact": _knn_join_exact,
             "hybrid_rrf": _hybrid_rrf,
             "hybrid_weighted": _hybrid_weighted,
@@ -1242,6 +1264,7 @@ _CHECKED_LAST_ROUND = {
 _ROUND_CHANGED = [
     "bigram_lm_nll", "tfidf_keywords", "related_docs", "mixture_weights",
     "bm25_phrase", "bm25_proximity", "percolate_queries",
+    "percolate_advanced",
 ]
 
 
@@ -2190,7 +2213,7 @@ FROM r WHERE rnk <= {KNN_K}
     # reverse search: registered queries vs every document (conjunctive)
     from visionsearch_spark.operators.percolate import query_table
 
-    _pq_rows = query_table(PERCOLATE_QUERIES)
+    _pq_rows, _, _ = query_table(PERCOLATE_QUERIES)
     _pq_vals = ", ".join(f"({q}, '{t}', {n})" for q, t, n in _pq_rows)
     sql["percolate_queries"] = f"""
 WITH pq(query_id, term, n_terms) AS (VALUES {_pq_vals}),
@@ -2204,6 +2227,56 @@ FROM dterms d JOIN pq USING(term)
 GROUP BY d.doc_id, pq.query_id
 HAVING count(*) = any_value(pq.n_terms)
 ORDER BY doc_id, query_id
+"""
+    # percolation with negation + phrase clauses (r6): VALUES tables come
+    # from the SAME query_table normalization the Spark side uses, so the
+    # two engines agree on analysis by construction
+    _amust, _aneg, _aph = query_table(PERCOLATE_ADV_QUERIES)
+    assert all(m == 2 for _q, _g, m in _aph), "oracle assumes bigram phrases"
+    _amust_v = ", ".join(f"({q}, '{t}', {n})" for q, t, n in _amust)
+    _aneg_v = ", ".join(f"({q}, '{t}')" for q, t in _aneg)
+    _aph_v = ", ".join(f"({q}, '{g}')" for q, g, _m in _aph)
+    sql["percolate_advanced"] = f"""
+WITH toksl AS (SELECT doc_id, {toks} AS tk FROM documents),
+dterms AS (
+  SELECT DISTINCT doc_id, unnest(tk) AS term FROM toksl
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(generate_series(1, len(tk)-1),
+                             i -> tk[i] || ' ' || tk[i+1])
+         ELSE [] END) AS gram
+  FROM toksl
+),
+mq(query_id, term, n_terms) AS (VALUES {_amust_v}),
+nq(query_id, term) AS (VALUES {_aneg_v}),
+phq(query_id, gram) AS (VALUES {_aph_v}),
+cand AS (
+  SELECT d.doc_id, mq.query_id
+  FROM dterms d JOIN mq USING(term)
+  GROUP BY d.doc_id, mq.query_id
+  HAVING count(*) = any_value(mq.n_terms)
+),
+neg AS (
+  SELECT DISTINCT d.doc_id, nq.query_id FROM dterms d JOIN nq USING(term)
+),
+cand2 AS (
+  SELECT c.doc_id, c.query_id FROM cand c
+  ANTI JOIN neg n ON n.doc_id = c.doc_id AND n.query_id = c.query_id
+),
+ph_hits AS (
+  SELECT p.query_id, g.doc_id, count(DISTINCT p.gram) AS hit
+  FROM phq p JOIN grams g ON g.gram = p.gram
+  GROUP BY p.query_id, g.doc_id
+),
+ph_need AS (SELECT query_id, count(*) AS needg FROM phq GROUP BY query_id)
+SELECT c.doc_id, c.query_id
+FROM cand2 c
+LEFT JOIN ph_need n ON n.query_id = c.query_id
+LEFT JOIN ph_hits h ON h.query_id = c.query_id AND h.doc_id = c.doc_id
+WHERE coalesce(n.needg, 0) = coalesce(h.hit, 0)
+ORDER BY c.doc_id, c.query_id
 """
     # per-term score explanation of the query's top-1 document
     _ex_terms = ", ".join(

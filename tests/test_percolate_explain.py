@@ -41,6 +41,79 @@ def test_percolate_matches_python_oracle(spark, docs):
     assert 4 not in qids  # conjunctive: one OOV term kills the query
 
 
+ADV_QUERIES = [
+    (1, {"must": "join", "must_not": "filter"}),
+    (2, {"phrases": ["join filter"]}),
+    (3, {"must": "stream", "phrases": ["join filter"],
+         "must_not": "zzzznotaword"}),
+    (4, {"phrases": ["join filter stream"]}),     # 3-token phrase
+    (5, {"must": "join", "must_not": "zzzznotaword"}),  # OOV neg = no-op
+    (6, {"phrases": [""]}),                        # unsatisfiable
+    (7, "scan merge"),                             # plain string mixes in
+]
+
+
+def _phrase_in(toks, ph):
+    m = len(ph)
+    return any(toks[i:i + m] == ph for i in range(len(toks) - m + 1))
+
+
+def test_percolate_clauses_python_oracle(spark, docs):
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, ADV_QUERIES).collect()}
+    want = set()
+    for row in docs.collect():
+        toks = tokenize(row["text"])
+        tset = set(toks)
+        for qid, spec in ADV_QUERIES:
+            if isinstance(spec, str):
+                req = set(tokenize(spec))
+                if req and req <= tset:
+                    want.add((row["doc_id"], qid))
+                continue
+            phrases = [tokenize(p) for p in spec.get("phrases", [])]
+            if any(not p for p in phrases):
+                continue  # empty-after-analysis phrase: unsatisfiable
+            req = set(tokenize(spec.get("must", "")))
+            for p in phrases:
+                req.update(p)
+            neg = set(tokenize(spec.get("must_not", "")))
+            if (req and req <= tset and not (neg & tset)
+                    and all(_phrase_in(toks, p) for p in phrases)):
+                want.add((row["doc_id"], qid))
+    assert got == want
+    qids = {q for _d, q in got}
+    assert 1 in qids and 2 in qids and 7 in qids  # really exercised
+    assert 6 not in qids
+    # negation really bites: query 1 is a strict subset of plain "join"
+    plain = {d for d, q in
+             ((r["doc_id"], r["query_id"])
+              for r in percolate(docs, [(9, "join")]).collect())}
+    assert {d for d, q in got if q == 1} < plain
+
+
+def test_percolate_exclusion_only_rejected(spark, docs):
+    with pytest.raises(ValueError, match="must_not"):
+        percolate(docs, [(1, {"must_not": "join"})])
+
+
+def test_percolate_clauses_stream_equals_batch(spark, docs, tmp_path):
+    from visionsearch_spark.operators.percolate import percolate_stream
+
+    src = str(tmp_path / "srcadv")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = percolate_stream(stream, ADV_QUERIES, str(tmp_path / "outadv"),
+                         str(tmp_path / "ckadv"))
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["query_id"]) for r in
+           spark.read.parquet(str(tmp_path / "outadv")).collect()}
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(docs, ADV_QUERIES).collect()}
+    assert got == want
+
+
 def test_percolate_no_queries(spark, docs):
     assert percolate(docs, []).count() == 0
     assert percolate(docs, [(1, "")]).count() == 0
