@@ -480,6 +480,47 @@ def _bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 FACET_QUERY = (["stream", "window"], ["lang", "source"])  # (any_of, facets)
 MATCH_COUNT_QUERY = (["join", "filter"], ["dup"])  # (all_of, none_of)
 
+# ES `range` aggregation buckets over n_chars (lo incl, hi excl, None =
+# open; 'all' overlaps the others — ES ranges may overlap)
+RANGE_FACET_SPEC = (
+    ["stream", "window"],  # any_of membership
+    {"n_chars": [("short", None, 200.0), ("mid", 200.0, 500.0),
+                 ("long", 500.0, None), ("all", None, None)]},
+)
+
+
+def _search_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation alongside search (query/facets.range_facets,
+    r6): named numeric buckets counted over boolean-query matches, every
+    requested bucket emitted (zero-count included)."""
+    from visionsearch_spark.query.facets import range_facets
+
+    any_of, ranges = RANGE_FACET_SPEC
+    store = get_documents_index(spark, sf_dir)
+    docmap = spark.read.parquet(store.docmap_path).select("docid", "conv_id")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "n_chars")
+    meta = docmap.select(
+        "docid", doc_id_col().alias("doc_id")
+    ).join(docs, "doc_id")
+    return range_facets(spark, store, meta, ranges, any_of=any_of) \
+        .orderBy("facet", "bucket")
+
+
+def _date_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram semantics (query/facets.histogram_frame, r6):
+    calendar-day buckets with EMPTY BUCKETS ZERO-FILLED between observed
+    min and max — the timeline widget's contract, which a plain groupBy
+    (tumbling_window_events) does not provide. Bucket axis = F.sequence
+    over a 1-row min/max aggregate."""
+    from visionsearch_spark.query.facets import histogram_frame
+
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    return histogram_frame(ev, "ts", "day").select(
+        F.col("bucket").cast("long").alias("bucket_epoch"), "n_docs"
+    ).orderBy("bucket_epoch")
+
 
 def _search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet aggregation alongside search: per-field value counts over
@@ -1170,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_fuzzy": _bm25_fuzzy,
             "search_facets": _search_facets,
             "search_match_count": _search_match_count,
+            "search_range_facets": _search_range_facets,
+            "date_histogram_events": _date_histogram_events,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1264,7 +1307,7 @@ _CHECKED_LAST_ROUND = {
 _ROUND_CHANGED = [
     "bigram_lm_nll", "tfidf_keywords", "related_docs", "mixture_weights",
     "bm25_phrase", "bm25_proximity", "percolate_queries",
-    "percolate_advanced",
+    "percolate_advanced", "search_range_facets", "date_histogram_events",
 ]
 
 
@@ -2437,6 +2480,40 @@ WHERE tf.doc_id = (SELECT doc_id FROM top1)
         f"WHERE list_has_any({toks}, {_fc_any_sql}) GROUP BY {c}"
         for c in _fc_facets
     )
+    _rf_any, _rf_ranges = RANGE_FACET_SPEC
+    _rf_any_sql = "[" + ", ".join(f"'{t}'" for t in _rf_any) + "]"
+    _rf_vals = ", ".join(
+        f"('{c}', '{label}', "
+        + ("NULL::DOUBLE" if lo is None else str(float(lo))) + ", "
+        + ("NULL::DOUBLE" if hi is None else str(float(hi))) + ")"
+        for c, bs in _rf_ranges.items() for (label, lo, hi) in bs
+    )
+    sql["search_range_facets"] = f"""
+WITH m AS (
+  SELECT n_chars FROM documents WHERE list_has_any({toks}, {_rf_any_sql})
+),
+b(facet, bucket, lo, hi) AS (VALUES {_rf_vals})
+SELECT b.facet, b.bucket, b.lo, b.hi,
+       (SELECT count(*) FROM m
+        WHERE m.n_chars IS NOT NULL
+          AND (b.lo IS NULL OR m.n_chars >= b.lo)
+          AND (b.hi IS NULL OR m.n_chars < b.hi))::BIGINT AS n_docs
+FROM b ORDER BY facet, bucket
+"""
+    sql["date_histogram_events"] = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM c),
+                                (SELECT max(bucket) FROM c),
+                                INTERVAL 1 DAY)) AS bucket
+)
+SELECT floor(epoch(axis.bucket))::BIGINT AS bucket_epoch,
+       coalesce(c.n, 0)::BIGINT AS n_docs
+FROM axis LEFT JOIN c USING(bucket) ORDER BY bucket_epoch
+"""
     _mc_all, _mc_none = MATCH_COUNT_QUERY
     sql["search_match_count"] = (
         "SELECT count(*)::BIGINT AS n_docs FROM documents WHERE "

@@ -115,3 +115,106 @@ def test_facet_counts_no_matches(spark, facet_store, meta_df):
         spark, facet_store, meta_df, ["role"], any_of=["zzzznotaword"]
     ).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# range facets + date histogram (r6)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dl_meta(spark, facet_store):
+    return spark.read.parquet(facet_store.docmap_path).select("docid", "dl")
+
+
+def test_range_facets_exact(spark, facet_store, dl_meta, doc_rows):
+    from visionsearch_spark.query.facets import range_facets
+
+    import pyarrow.parquet as pq
+
+    dls = {int(r.docid): int(r.dl) for r in pq.read_table(
+        facet_store.staged_path, columns=["docid", "dl"]
+    ).to_pandas().itertuples(index=False)}
+    ranges = {"dl": [("tiny", None, 10.0), ("mid", 10.0, 40.0),
+                     ("huge", 40.0, None), ("all", None, None),
+                     ("empty", 1e9, None)]}
+    got = {(r.facet, r.bucket): (r.lo, r.hi, r.n_docs) for r in range_facets(
+        spark, facet_store, dl_meta, ranges, all_of=["join"]
+    ).collect()}
+    match = _matches(doc_rows, all_of=["join"])
+    for label, lo, hi in ranges["dl"]:
+        want = sum(
+            1 for d in match
+            if (lo is None or dls[d] >= lo) and (hi is None or dls[d] < hi)
+        )
+        assert got[("dl", label)] == (lo, hi, want), label
+    # every requested bucket present, zero-count included; overlap OK
+    assert got[("dl", "empty")][2] == 0
+    assert got[("dl", "all")][2] == len(match)
+    assert len(got) == len(ranges["dl"])
+
+
+def test_range_facets_zero_match_query_keeps_buckets(spark, facet_store,
+                                                     dl_meta):
+    from visionsearch_spark.query.facets import range_facets
+
+    got = range_facets(
+        spark, facet_store, dl_meta,
+        {"dl": [("a", None, 10.0), ("b", 10.0, None)]},
+        any_of=["zzzznotaword"],
+    ).collect()
+    assert sorted((r.bucket, r.n_docs) for r in got) == [("a", 0), ("b", 0)]
+
+
+def test_range_facets_validates(spark, facet_store, dl_meta):
+    from visionsearch_spark.query.facets import range_facets
+
+    with pytest.raises(ValueError, match="missing range columns"):
+        range_facets(spark, facet_store, dl_meta,
+                     {"nope": [("x", None, None)]}, any_of=["the"])
+    with pytest.raises(ValueError, match="at least one bucket"):
+        range_facets(spark, facet_store, dl_meta, {}, any_of=["the"])
+
+
+def test_date_histogram_zero_fills(spark, facet_store, transcripts,
+                                   doc_rows):
+    import collections
+    import datetime
+
+    from visionsearch_spark.query.facets import date_histogram
+
+    docmap = spark.read.parquet(facet_store.docmap_path).select(
+        "docid", "conv_id", "turn_idx")
+    meta = docmap.join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).select("docid", "ts")
+    got = {r.bucket: r.n_docs for r in date_histogram(
+        spark, facet_store, meta, "ts", "day", all_of=["join"]
+    ).collect()}
+    # oracle: per-day counts of matching docs, zero-filled min..max
+    ts_of = {}
+    for r in docmap.join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).collect():
+        ts_of[int(r.docid)] = r.ts
+    match = _matches(doc_rows, all_of=["join"])
+    days = collections.Counter(
+        ts_of[d].date() for d in match if ts_of[d] is not None
+    )
+    lo, hi = min(days), max(days)
+    want = {}
+    cur = lo
+    while cur <= hi:
+        want[datetime.datetime.combine(cur, datetime.time())] = days.get(
+            cur, 0)
+        cur += datetime.timedelta(days=1)
+    assert got == want
+    assert 0 in set(want.values()) or len(want) == len(days)
+
+
+def test_histogram_frame_bad_interval(spark, transcripts):
+    from visionsearch_spark.query.facets import histogram_frame
+
+    with pytest.raises(ValueError, match="interval"):
+        histogram_frame(transcripts, "ts", "fortnight")

@@ -103,3 +103,120 @@ def facet_counts(
             .drop("_rk")
         )
     return counts
+
+
+RANGE_FACET_DDL = ("facet string, bucket string, lo double, hi double, "
+                   "n_docs long")
+
+
+def range_facets(
+    spark: SparkSession,
+    store: IndexStore,
+    meta: DataFrame,
+    ranges: dict[str, list[tuple[str, float | None, float | None]]],
+    all_of: list[str] | None = None,
+    any_of: list[str] | None = None,
+    none_of: list[str] | None = None,
+) -> DataFrame:
+    """Elasticsearch `range` aggregation alongside search: for each
+    numeric column, caller-named buckets [lo, hi) (None = open end;
+    buckets MAY overlap, like ES) counted over the docs matching the
+    boolean membership query. NULL metric values fall in no bucket.
+
+    Every requested bucket is emitted, zero-count included (ES contract)
+    — counts right-join a broadcast literal bucket table, so a query
+    with no matches still returns all buckets at 0. Same one-shuffle
+    stacked-pairs shape as facet_counts: N columns x M buckets cost one
+    exchange carrying per-bucket partials."""
+    if not ranges or not any(ranges.values()):
+        raise ValueError("range_facets requires at least one bucket")
+    missing = [c for c in ranges if c not in meta.columns]
+    if missing:
+        raise ValueError(f"meta is missing range columns: {missing}")
+    allow = matching_docids(
+        spark, store, all_of=all_of, any_of=any_of, none_of=none_of
+    )
+    matched = meta.select("docid", *ranges.keys()).join(allow, "docid")
+    buckets = spark.createDataFrame(
+        [(c, label,
+          None if lo is None else float(lo),
+          None if hi is None else float(hi))
+         for c, bs in ranges.items() for (label, lo, hi) in bs],
+        "facet string, bucket string, lo double, hi double",
+    )
+    stacked = matched.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.lit(label).alias("bucket"),
+                    ((F.lit(lo).cast("double").isNull()
+                      | (F.col(c) >= F.lit(lo).cast("double")))
+                     & (F.lit(hi).cast("double").isNull()
+                        | (F.col(c) < F.lit(hi).cast("double")))
+                     & F.col(c).isNotNull()).cast("int").alias("hit"),
+                )
+                for c, bs in ranges.items() for (label, lo, hi) in bs
+            ])
+        ).alias("fb")
+    ).select("fb.facet", "fb.bucket", "fb.hit")
+    counts = stacked.groupBy("facet", "bucket").agg(
+        F.sum("hit").cast("long").alias("_n")
+    )
+    return (
+        F.broadcast(buckets).join(counts, ["facet", "bucket"], "left")
+        .select("facet", "bucket", "lo", "hi",
+                F.coalesce("_n", F.lit(0)).cast("long").alias("n_docs"))
+    )
+
+
+_TRUNC_UNITS = {"hour", "day", "week", "month", "year"}
+
+
+def histogram_frame(df: DataFrame, ts_col: str,
+                    interval: str = "day") -> DataFrame:
+    """(bucket timestamp, n_docs long): calendar date-histogram of a
+    frame's timestamp column with EMPTY BUCKETS ZERO-FILLED between the
+    observed min and max (the ES date_histogram contract that a plain
+    groupBy misses). The bucket axis comes from F.sequence over a 1-row
+    min/max aggregate — two scalar values through the driver, never a
+    driver-side loop; NULL timestamps are dropped."""
+    if interval not in _TRUNC_UNITS:
+        raise ValueError(f"interval must be one of {sorted(_TRUNC_UNITS)}")
+    b = df.select(F.date_trunc(interval, F.col(ts_col)).alias("bucket")) \
+        .filter(F.col("bucket").isNotNull())
+    counts = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("_n"))
+    step = "7 day" if interval == "week" else f"1 {interval}"
+    axis = counts.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    ).filter(F.col("_lo").isNotNull()).select(
+        F.explode(F.expr(f"sequence(_lo, _hi, interval {step})"))
+        .alias("bucket")
+    )
+    return axis.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("_n", F.lit(0)).cast("long").alias("n_docs")
+    )
+
+
+def date_histogram(
+    spark: SparkSession,
+    store: IndexStore,
+    meta: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    all_of: list[str] | None = None,
+    any_of: list[str] | None = None,
+    none_of: list[str] | None = None,
+) -> DataFrame:
+    """Date histogram over the docs matching a boolean query (the
+    timeline widget next to search results): membership from the
+    zero-shuffle kernel, then :func:`histogram_frame` semantics —
+    calendar buckets, empty buckets zero-filled."""
+    if ts_col not in meta.columns:
+        raise ValueError(f"meta is missing timestamp column {ts_col!r}")
+    allow = matching_docids(
+        spark, store, all_of=all_of, any_of=any_of, none_of=none_of
+    )
+    matched = meta.select("docid", ts_col).join(allow, "docid")
+    return histogram_frame(matched, ts_col, interval)
