@@ -334,6 +334,128 @@ class LocalSearcher:
                               max_tokens=max_tokens)
 
 
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64 array (numpy<2 lacks
+    np.bitwise_count): unpack the underlying bytes and sum bits."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(v)
+    b = np.unpackbits(v.astype("<i8").view(np.uint8).reshape(-1, 8),
+                      axis=1)
+    return b.sum(axis=1)
+
+
+class LocalVectorSearcher:
+    """In-process ANN serving over a build_ann_index LSH sidecar — the
+    vector twin of LocalSearcher (load once, answer in numpy, no Spark
+    job per query). Loads (id, sig) from the sidecar and the embedding
+    vectors keyed by id; a query Hamming-prunes on the signatures and
+    exact-cosines the survivors, bit-for-bit the plan of
+    operators/similarity.cosine_topk_lsh_indexed (rank-parity pinned in
+    tests). At 10^12-row scale the per-process load is a shard of the
+    embedding table behind the same scatter-gather story as
+    ShardedSearcher; here one process holds the fixture corpus.
+
+    conv_of: maps the embedding id to the text store's conv_id key (the
+    id mapping is corpus knowledge, not engine knowledge; default str)."""
+
+    def __init__(self, ann_root: str, emb_path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 conv_of=None):
+        import json
+        import os
+
+        from visionsearch_spark.operators.similarity import (
+            SIG_DIR,
+            SIG_META,
+            _hyperplanes,
+        )
+
+        with open(os.path.join(ann_root, SIG_META)) as f:
+            m = json.load(f)
+        self.dim = int(m["dim"])
+        self._planes = _hyperplanes(self.dim, int(m["n_planes"]),
+                                    int(m["seed"]))
+        sig = pads.dataset(os.path.join(ann_root, SIG_DIR)).to_table(
+            columns=["id", "sig"])
+        sig_ids = np.asarray(sig.column("id"), dtype=np.int64)
+        sigs = np.asarray(sig.column("sig"), dtype=np.int64)
+        emb = pads.dataset(emb_path).to_table(columns=[id_col, vec_col])
+        emb_ids = np.asarray(emb.column(id_col), dtype=np.int64)
+        vecs = np.asarray(emb.column(vec_col).to_pylist(),
+                          dtype=np.float64)
+        order = np.argsort(emb_ids, kind="stable")
+        emb_ids, vecs = emb_ids[order], vecs[order]
+        # align signatures to the vector order by id
+        pos = np.searchsorted(emb_ids, sig_ids)
+        if not (pos < emb_ids.size).all() or not \
+                (emb_ids[np.minimum(pos, emb_ids.size - 1)]
+                 == sig_ids).all():
+            raise ValueError("ANN sidecar ids not all present in the "
+                             "embedding table")
+        self._ids = emb_ids
+        self._vecs = vecs
+        self._sigs = np.zeros(emb_ids.size, dtype=np.int64)
+        self._sigs[pos] = sigs
+        self._norms = np.sqrt((vecs * vecs).sum(axis=1))
+        self.conv_of = conv_of or str
+
+    def topk(self, query_vec, k: int = 10, max_hamming: int = 4
+             ) -> list[tuple[str, int, float]]:
+        """[(conv_id, rank, cos)] — Hamming prune on signatures, exact
+        cosine on survivors, (cos desc, id asc) order, identical to the
+        Spark cosine_topk_lsh_indexed plan."""
+        qv = np.asarray(query_vec, dtype=np.float64)
+        if qv.size != self.dim:
+            raise ValueError(
+                f"query dim {qv.size} != index dim {self.dim}")
+        qsig = 0
+        for i, plane in enumerate(self._planes):
+            if float(plane @ qv) >= 0:
+                qsig |= 1 << i
+        surv = np.flatnonzero(
+            _popcount64(self._sigs ^ np.int64(qsig)) <= max_hamming)
+        if not surv.size:
+            return []
+        qn = float(np.sqrt(qv @ qv))
+        denom = self._norms[surv] * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0,
+                           (self._vecs[surv] @ qv) / denom, 0.0)
+        order = np.lexsort((self._ids[surv], -cos))[:k]
+        sel = surv[order]
+        return [
+            (self.conv_of(int(self._ids[i])), r + 1, float(c))
+            for r, (i, c) in enumerate(zip(sel, cos[order]))
+        ]
+
+
+def hybrid_serve(text_searcher, vec_searcher: LocalVectorSearcher,
+                 query: str, query_vec, k: int = 10, depth: int = 50,
+                 c: int = 60, max_hamming: int = 4
+                 ) -> list[tuple[str, int, float]]:
+    """Serving-tier hybrid retrieval: RRF-fuse the text searcher's
+    conv-collapsed top-`depth` (rank = first appearance of the conv in
+    the turn-level ranking, the serving analog of hybrid_topk's min-rank
+    collapse) with the vector searcher's ANN top-`depth`. Returns
+    [(conv_id, rank, fused)], ties broken conv asc — the same RRF
+    contract as query/hybrid.rrf_fuse, served without a Spark job."""
+    ranks: dict[str, float] = {}
+    conv_rank: dict[str, int] = {}
+    for pos, (_d, cv, _t, _s) in enumerate(
+            text_searcher.search(query, k=depth), start=1):
+        # min TURN-level rank per conv, gaps preserved — matching
+        # hybrid_topk's groupBy(conv).min(rank), not a dense renumber
+        if cv not in conv_rank:
+            conv_rank[cv] = pos
+    for cv, r in conv_rank.items():
+        ranks[cv] = ranks.get(cv, 0.0) + 1.0 / (c + r)
+    for cv, r, _cos in vec_searcher.topk(query_vec, k=depth,
+                                         max_hamming=max_hamming):
+        ranks[cv] = ranks.get(cv, 0.0) + 1.0 / (c + r)
+    fused = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(cv, i + 1, f) for i, (cv, f) in enumerate(fused)]
+
+
 class ShardedSearcher:
     """Scatter-gather router over per-shard-group LocalSearchers — the
     deployment story at 10^12-turn scale, where one process cannot hold

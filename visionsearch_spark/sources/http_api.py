@@ -94,8 +94,11 @@ class ServingApp:
 
     def __init__(self, searcher, spool_dir: str, static_dir: str | None = None,
                  max_upload_mb: int = DEFAULT_MAX_UPLOAD_MB,
-                 auth_token: str | None = None):
+                 auth_token: str | None = None, vec_searcher=None):
         self.searcher = searcher
+        # optional LocalVectorSearcher (query/serving.py) — enables the
+        # POST /hybrid endpoint (RRF text+vector fusion); None = 404
+        self.vec_searcher = vec_searcher
         self.spool_dir = spool_dir
         self.static_dir = os.path.realpath(static_dir) if static_dir else None
         self.max_upload_bytes = int(max_upload_mb * 1024 * 1024)
@@ -310,6 +313,57 @@ class ServingApp:
                         )
                     app.searcher.mask_convs(conv_ids)
                     self._json(200, {"deleted_units": n_new})
+                    return
+                if u.path == "/hybrid":
+                    # RRF hybrid retrieval at the serving tier (r6):
+                    # text side = this app's LocalSearcher, vector side =
+                    # the store's own ANN sidecar via LocalVectorSearcher
+                    # (query/serving.hybrid_serve). POST because the
+                    # query vector doesn't belong in a URL.
+                    if not self._authed():
+                        return
+                    if app.vec_searcher is None:
+                        self._json(404, {
+                            "error": "no vector index attached"})
+                        return
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(max(n, 0))
+                                          or b"{}")
+                        q = body.get("q", "")
+                        vec = body["vec"]
+                        if (not isinstance(vec, list) or not vec or
+                                not all(isinstance(x, (int, float))
+                                        for x in vec)):
+                            raise ValueError(
+                                "vec must be a non-empty number array")
+                        k = int(body.get("k", 10))
+                        depth = int(body.get("depth", 50))
+                        max_h = int(body.get("max_hamming", 4))
+                    except (ValueError, KeyError, TypeError) as e:
+                        self._json(400, {"error": str(e)})
+                        return
+                    from visionsearch_spark.query.serving import (
+                        hybrid_serve,
+                    )
+
+                    t0 = time.perf_counter()
+                    try:
+                        hits = hybrid_serve(
+                            app.searcher, app.vec_searcher, q, vec,
+                            k=k, depth=depth, max_hamming=max_h)
+                    except ValueError as e:  # e.g. dim mismatch
+                        self._json(400, {"error": str(e)})
+                        return
+                    self._json(200, {
+                        "query": q,
+                        "took_ms": round(
+                            (time.perf_counter() - t0) * 1e3, 3),
+                        "hits": [
+                            {"conv_id": cv, "rank": r, "fused": f}
+                            for cv, r, f in hits
+                        ],
+                    })
                     return
                 if u.path != "/upload":
                     self._json(404, {"error": "not found"})
