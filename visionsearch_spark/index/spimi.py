@@ -646,7 +646,8 @@ def compact_store(spark: SparkSession, root: str,
     return store
 
 
-def write_segments(compacted, n_partitions: int, path: str) -> None:
+def write_segments(compacted, n_partitions: int, path: str,
+                   blooms: bool = True) -> None:
     """THE segment write: shard-hash partitioned, key-sorted, and pinned
     to one file per partition. ONE FILE PER PARTITION is a correctness
     invariant, not a perf preference — the query fast path assigns whole
@@ -682,12 +683,17 @@ def write_segments(compacted, n_partitions: int, path: str) -> None:
         .parquet(path)
     )
     # per-file term Bloom sidecars (planner file pruning; index/bloom.py)
-    # — written by the same call so every segment file ever produced
-    # (build, compact, append) carries one; a crash between the two
-    # writes just leaves unpruned files (never wrong results)
-    from visionsearch_spark.index.bloom import write_segment_blooms
+    # written by the same call for builds and compactions; APPENDS pass
+    # blooms=False (r6, VERDICT r5 #6) — paying the sidecar scan on every
+    # O(delta) append taxed ingest ~5% for pruning that matters on
+    # LONG-LIVED many-file stores, which the next compaction (re)covers
+    # in full. A file with no sidecar is simply never pruned
+    # (wand._bloom_prune keeps it — never wrong results), same rule as a
+    # crash between the two writes.
+    if blooms:
+        from visionsearch_spark.index.bloom import write_segment_blooms
 
-    write_segment_blooms(compacted.sparkSession, path)
+        write_segment_blooms(compacted.sparkSession, path)
 
 
 def _compact_segments(frags: DataFrame, shard_range: int,

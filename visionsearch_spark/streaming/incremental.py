@@ -297,8 +297,13 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         compacted = _compact_segments(frags, int(meta["shard_range"]))
         from visionsearch_spark.index.spimi import write_segments
 
+        # blooms=False: appends skip the Bloom sidecar pass (ingest pays
+        # O(delta) only); unpruned delta files just fall back to the
+        # never-wrong unpruned path until the next full compaction
+        # rewrites everything WITH sidecars (spimi.write_segments r6)
         write_segments(compacted, n_partitions,
-                       store.epoch_path("segments", next_ep))
+                       store.epoch_path("segments", next_ep),
+                       blooms=False)
         seg_dirs = [os.path.basename(p) for p in store.segment_paths()]
         ts_dirs = [os.path.basename(p) for p in store.term_stats_paths()]
         meta.update({
