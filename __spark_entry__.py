@@ -508,6 +508,46 @@ def _search_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("facet", "bucket")
 
 
+SIGTERMS_QUERY = (["stream", "window"], 20, 3)  # (any_of, top_n, min_fg_df)
+
+# (any_of membership, numeric column, percentiles)
+STATS_QUERY = (["stream", "window"], "n_chars", [0.25, 0.5, 0.75, 0.95])
+
+
+def _search_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats+percentiles aggregation alongside search (query/facets
+    .numeric_stats, r6): count/min/max/avg plus EXACT linear-interpolated
+    percentiles (Spark percentile == DuckDB quantile_cont) over the
+    boolean-query matches' n_chars."""
+    from visionsearch_spark.query.facets import numeric_stats
+
+    any_of, col, ps = STATS_QUERY
+    store = get_documents_index(spark, sf_dir)
+    docmap = spark.read.parquet(store.docmap_path).select("docid", "conv_id")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", col)
+    meta = docmap.select(
+        "docid", doc_id_col().alias("doc_id")
+    ).join(docs, "doc_id")
+    return numeric_stats(spark, store, meta, [col], percentiles=ps,
+                         any_of=any_of).orderBy("facet", "stat")
+
+
+def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (query/facets.significant_terms, r6): terms
+    over-represented in the boolean-query matches vs the whole corpus,
+    JLH-scored ((fg%-bg%)*(fg%/bg%)), query terms excluded, fg_df >= 3;
+    foreground re-tokenizes ONLY matching docs, background df comes from
+    the store's term_stats."""
+    from visionsearch_spark.query.facets import significant_terms
+
+    any_of, top_n, min_fg = SIGTERMS_QUERY
+    store = get_documents_index(spark, sf_dir)
+    return significant_terms(spark, store, any_of=any_of, top_n=top_n,
+                             min_fg_df=min_fg)
+
+
 def _date_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram semantics (query/facets.histogram_frame, r6):
     calendar-day buckets with EMPTY BUCKETS ZERO-FILLED between observed
@@ -1213,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "search_match_count": _search_match_count,
             "search_range_facets": _search_range_facets,
             "date_histogram_events": _date_histogram_events,
+            "significant_terms": _significant_terms,
+            "search_numeric_stats": _search_numeric_stats,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1308,6 +1350,7 @@ _ROUND_CHANGED = [
     "bigram_lm_nll", "tfidf_keywords", "related_docs", "mixture_weights",
     "bm25_phrase", "bm25_proximity", "percolate_queries",
     "percolate_advanced", "search_range_facets", "date_histogram_events",
+    "significant_terms", "search_numeric_stats",
 ]
 
 
@@ -2513,6 +2556,59 @@ axis AS (
 SELECT floor(epoch(axis.bucket))::BIGINT AS bucket_epoch,
        coalesce(c.n, 0)::BIGINT AS n_docs
 FROM axis LEFT JOIN c USING(bucket) ORDER BY bucket_epoch
+"""
+    _st_any, _st_topn, _st_minfg = SIGTERMS_QUERY
+    _st_any_sql = "[" + ", ".join(f"'{t}'" for t in _st_any) + "]"
+    _st_excl = ", ".join(f"'{t}'" for t in sorted(_st_any))
+    sql["significant_terms"] = f"""
+WITH m AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+  WHERE list_has_any({toks}, {_st_any_sql})
+),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM m),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM (
+    SELECT DISTINCT doc_id, unnest(tk) AS term FROM m
+  ) GROUP BY term
+  HAVING count(*) >= {_st_minfg}
+),
+bg AS (
+  SELECT term, count(*)::BIGINT AS bg_df FROM (
+    SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+  ) GROUP BY term
+),
+scored AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round((fg.fg_df / nfg.n - bg.bg_df / nbg.n)
+               * ((fg.fg_df / nfg.n) / (bg.bg_df / nbg.n)), 6) AS score
+  FROM fg JOIN bg USING(term) CROSS JOIN nfg CROSS JOIN nbg
+  WHERE fg.term NOT IN ({_st_excl})
+)
+SELECT term, fg_df, bg_df, score,
+       row_number() OVER (ORDER BY score DESC, term ASC)::INT AS rank
+FROM scored ORDER BY score DESC, term ASC LIMIT {_st_topn}
+"""
+    _ns_any, _ns_col, _ns_ps = STATS_QUERY
+    _ns_any_sql = "[" + ", ".join(f"'{t}'" for t in _ns_any) + "]"
+    sql["search_numeric_stats"] = f"""
+WITH m AS (
+  SELECT {_ns_col} FROM documents
+  WHERE list_has_any({toks}, {_ns_any_sql})
+),
+agg AS (
+  SELECT count({_ns_col})::DOUBLE AS c,
+         round(min({_ns_col})::DOUBLE, 6) AS mn,
+         round(max({_ns_col})::DOUBLE, 6) AS mx,
+         round(avg({_ns_col}::DOUBLE), 6) AS av,
+         {", ".join(f"round(quantile_cont({_ns_col}::DOUBLE, {p}), 6) AS q{i}" for i, p in enumerate(_ns_ps))}
+  FROM m
+)
+SELECT '{_ns_col}' AS facet, s.stat, s.value FROM agg,
+LATERAL (VALUES ('count', c), ('min', mn), ('max', mx), ('avg', av),
+         {", ".join(f"('p{int(round(p * 100)):02d}', q{i})" for i, p in enumerate(_ns_ps))}
+) AS s(stat, value)
+ORDER BY facet, stat
 """
     _mc_all, _mc_none = MATCH_COUNT_QUERY
     sql["search_match_count"] = (

@@ -218,3 +218,89 @@ def test_histogram_frame_bad_interval(spark, transcripts):
 
     with pytest.raises(ValueError, match="interval"):
         histogram_frame(transcripts, "ts", "fortnight")
+
+
+def test_significant_terms_exact(spark, facet_store, doc_rows):
+    """JLH scores vs an exhaustive Python oracle over the fixture
+    corpus; query terms excluded; min_fg_df enforced."""
+    import collections
+
+    from visionsearch_spark.query.facets import significant_terms
+
+    import pyarrow.parquet as pq
+
+    from visionsearch_spark.analyzer import tokenize
+
+    st = pq.read_table(
+        facet_store.staged_path, columns=["docid", "text"]
+    ).to_pandas()
+    toks = {int(r.docid): set(tokenize(r.text))
+            for r in st.itertuples(index=False)}
+    any_of, top_n, min_fg = ["join", "filter"], 15, 2
+    match = [d for d, s in toks.items() if any(t in s for t in any_of)]
+    nfg, nbg = float(len(match)), float(len(toks))
+    fg = collections.Counter(t for d in match for t in toks[d])
+    bg = collections.Counter(t for s in toks.values() for t in s)
+    scored = sorted(
+        (
+            (round((c / nfg - bg[t] / nbg) * ((c / nfg) / (bg[t] / nbg)),
+                   6), t, c)
+            for t, c in fg.items()
+            if c >= min_fg and t not in any_of
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:top_n]
+    got = significant_terms(spark, facet_store, any_of=any_of,
+                            top_n=top_n, min_fg_df=min_fg) \
+        .orderBy("rank").collect()
+    assert [(r.term, r.fg_df, r.rank) for r in got] \
+        == [(t, c, i + 1) for i, (_s, t, c) in enumerate(scored)]
+    for r, (s, _t, _c) in zip(got, scored):
+        assert abs(r.score - s) < 2e-6
+    assert all(r.term not in any_of for r in got)
+    assert all(r.fg_df >= min_fg for r in got)
+
+
+def test_numeric_stats_exact(spark, facet_store, dl_meta, doc_rows):
+    """count/min/max/avg + exact interpolated percentiles vs numpy
+    (linear interpolation == Spark percentile == DuckDB quantile_cont)."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    from visionsearch_spark.query.facets import numeric_stats
+
+    dls = {int(r.docid): int(r.dl) for r in pq.read_table(
+        facet_store.staged_path, columns=["docid", "dl"]
+    ).to_pandas().itertuples(index=False)}
+    ps = [0.25, 0.5, 0.9]
+    match = _matches(doc_rows, all_of=["join"])
+    vals = np.array([dls[d] for d in match], dtype=float)
+    want = {
+        "count": float(vals.size),
+        "min": round(float(vals.min()), 6),
+        "max": round(float(vals.max()), 6),
+        "avg": round(float(vals.mean()), 6),
+        **{f"p{int(round(p * 100)):02d}":
+           round(float(np.percentile(vals, p * 100,
+                                     method="linear")), 6)
+           for p in ps},
+    }
+    got = {r.stat: r.value for r in numeric_stats(
+        spark, facet_store, dl_meta, ["dl"], percentiles=ps,
+        all_of=["join"]
+    ).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert abs(got[s] - want[s]) < 2e-6, s
+
+
+def test_numeric_stats_validates(spark, facet_store, dl_meta):
+    from visionsearch_spark.query.facets import numeric_stats
+
+    with pytest.raises(ValueError, match="missing stat columns"):
+        numeric_stats(spark, facet_store, dl_meta, ["nope"],
+                      any_of=["the"])
+    with pytest.raises(ValueError, match="percentiles"):
+        numeric_stats(spark, facet_store, dl_meta, ["dl"],
+                      percentiles=[1.5], any_of=["the"])

@@ -170,6 +170,154 @@ def range_facets(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    all_of: list[str] | None = None,
+    any_of: list[str] | None = None,
+    none_of: list[str] | None = None,
+    top_n: int = 20,
+    min_fg_df: int = 3,
+) -> DataFrame:
+    """Elasticsearch `significant_terms`: terms over-represented in the
+    docs matching a boolean query relative to the whole corpus, scored
+    with the JLH heuristic
+        score = (fg% − bg%) · (fg% / bg%)
+    where fg% = fg_df / n_matching and bg% = df / n_docs. The query's
+    own terms are excluded (they are trivially significant), as are
+    terms below `min_fg_df` foreground docs (ES min_doc_count — kills
+    one-doc noise). Rounded to 6 for cross-engine determinism; order
+    (score desc, term asc), top_n rows.
+
+    Scale shape: membership from the zero-shuffle kernel; the foreground
+    term counts re-tokenize ONLY matching docs (semi-join-pruned staged
+    scan — the rarest-query-term-bounded set, same argument as the
+    phrase fallback); background df comes from the store's term_stats
+    (already aggregated at build). One groupBy(term) shuffle carrying
+    per-term partials, one term-keyed join against term_stats, a 2-row
+    broadcast of the scalar counts."""
+    from visionsearch_spark.analyzer import tokens_col
+
+    qterms = sorted(
+        set(_norm(all_of)) | set(_norm(any_of)) | set(_norm(none_of)))
+    allow = matching_docids(
+        spark, store, all_of=all_of, any_of=any_of, none_of=none_of
+    )
+    staged = spark.read.parquet(store.staged_path).select("docid", "text")
+    matched = staged.join(allow, "docid", "left_semi")
+    fg = (
+        matched.select("docid", F.explode(tokens_col("text")).alias("term"))
+        .dropDuplicates(["docid", "term"])
+        .groupBy("term").agg(F.count("*").cast("long").alias("fg_df"))
+        .filter(~F.col("term").isin(qterms))
+        .filter(F.col("fg_df") >= min_fg_df)
+    )
+    n_fg = allow.agg(F.count("*").cast("double").alias("_nfg"))
+    meta = store.read_meta()
+    n_bg = float(int(meta["n_docs"]))
+    bg = spark.read.parquet(*store.term_stats_paths()) \
+        .groupBy("term").agg(F.sum("df").cast("long").alias("bg_df"))
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(n_fg))
+        .select(
+            "term", "fg_df", "bg_df",
+            F.round(
+                ((F.col("fg_df") / F.col("_nfg"))
+                 - (F.col("bg_df") / F.lit(n_bg)))
+                * ((F.col("fg_df") / F.col("_nfg"))
+                   / (F.col("bg_df") / F.lit(n_bg))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .select("term", "fg_df", "bg_df", "score", "rank")
+    )
+
+
+def numeric_stats(
+    spark: SparkSession,
+    store: IndexStore,
+    meta: DataFrame,
+    cols: list[str],
+    percentiles: list[float] = (0.25, 0.5, 0.75, 0.95),
+    all_of: list[str] | None = None,
+    any_of: list[str] | None = None,
+    none_of: list[str] | None = None,
+) -> DataFrame:
+    """ES `stats` + `percentiles` aggregations over the docs matching a
+    boolean query: per numeric column — count, min, max, avg, and EXACT
+    linear-interpolated percentiles (Spark `percentile`, the same
+    continuous definition as DuckDB's quantile_cont — cross-engine
+    value-checkable, unlike percentile_approx). Long output (facet,
+    stat, value) with stats named count/min/max/avg/p25/p50/…; doubles
+    rounded to 6. NULL metric values are ignored (SQL aggregate rule).
+
+    Same scale shape as facet_counts: one stacked explode, one
+    groupBy(facet) shuffle carrying partial aggregates. Exact
+    percentiles sort within each facet group — at 100 TB switch callers
+    to approx_percentile if a facet's match set alone is terabytes; the
+    contract keeps the exact form because it is value-checkable."""
+    if not cols:
+        raise ValueError("numeric_stats requires at least one column")
+    missing = [c for c in cols if c not in meta.columns]
+    if missing:
+        raise ValueError(f"meta is missing stat columns: {missing}")
+    ps = [float(p) for p in percentiles]
+    if any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("percentiles must be in [0, 1]")
+    allow = matching_docids(
+        spark, store, all_of=all_of, any_of=any_of, none_of=none_of
+    )
+    matched = meta.select("docid", *cols).join(allow, "docid")
+    stacked = matched.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.col(c).cast("double").alias("v"),
+                )
+                for c in cols
+            ])
+        ).alias("fv")
+    ).select("fv.facet", "fv.v")
+    aggs = [
+        F.count("v").cast("long").alias("count"),
+        F.round(F.min("v"), 6).alias("min"),
+        F.round(F.max("v"), 6).alias("max"),
+        F.round(F.avg("v"), 6).alias("avg"),
+    ] + [
+        F.round(F.percentile("v", F.lit(p)), 6)
+        .alias(f"p{int(round(p * 100)):02d}")
+        for p in ps
+    ]
+    wide = stacked.groupBy("facet").agg(*aggs)
+    stats = [f.name for f in wide.schema.fields if f.name != "facet"]
+    return wide.select(
+        "facet",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("stat"),
+                         F.col(s).cast("double").alias("value"))
+                for s in stats
+            ])
+        ).alias("sv"),
+    ).select("facet", "sv.stat", "sv.value")
+
+
+def _norm(terms: list[str] | None) -> list[str]:
+    from visionsearch_spark.analyzer import tokenize
+
+    out: list[str] = []
+    for t in terms or []:
+        out.extend(tokenize(t))
+    return out
+
+
 _TRUNC_UNITS = {"hour", "day", "week", "month", "year"}
 
 
