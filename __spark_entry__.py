@@ -508,6 +508,31 @@ def _search_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("facet", "bucket")
 
 
+DUP_SPAN_L = 10  # token length for duplicated-span detection
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (operators/dedup.duplicate_spans,
+    r6) — the Spark form of Lee et al.'s suffix-array substring dedup:
+    maximal runs of consecutive corpus-duplicated 10-gram starts, as
+    (doc_id, span_start, span_end, n_grams), 0-based end-exclusive."""
+    from visionsearch_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return duplicate_spans(docs, length=DUP_SPAN_L) \
+        .orderBy("doc_id", "span_start")
+
+
+def _dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token coverage (union of duplicated spans —
+    a real interval merge; operators/dedup.dup_span_stats, r6): the
+    threshold signal for substring-dedup filtering."""
+    from visionsearch_spark.operators.dedup import dup_span_stats
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return dup_span_stats(docs, length=DUP_SPAN_L).orderBy("doc_id")
+
+
 SIGTERMS_QUERY = (["stream", "window"], 20, 3)  # (any_of, top_n, min_fg_df)
 
 # (any_of membership, numeric column, percentiles)
@@ -1255,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "date_histogram_events": _date_histogram_events,
             "significant_terms": _significant_terms,
             "search_numeric_stats": _search_numeric_stats,
+            "dup_spans": _dup_spans,
+            "dup_span_stats": _dup_span_stats,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1350,7 +1377,8 @@ _ROUND_CHANGED = [
     "bigram_lm_nll", "tfidf_keywords", "related_docs", "mixture_weights",
     "bm25_phrase", "bm25_proximity", "percolate_queries",
     "percolate_advanced", "search_range_facets", "date_histogram_events",
-    "significant_terms", "search_numeric_stats",
+    "significant_terms", "search_numeric_stats", "dup_spans",
+    "dup_span_stats",
 ]
 
 
@@ -2556,6 +2584,74 @@ axis AS (
 SELECT floor(epoch(axis.bucket))::BIGINT AS bucket_epoch,
        coalesce(c.n, 0)::BIGINT AS n_docs
 FROM axis LEFT JOIN c USING(bucket) ORDER BY bucket_epoch
+"""
+    # duplicated spans: parallel-unnest (pos, gram) occurrence stream,
+    # dup grams by corpus count, gaps-and-islands on consecutive starts
+    _ds_gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(DUP_SPAN_L))
+    _ds_spans_cte = f"""
+toksl AS (SELECT doc_id, {toks} AS tk FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= {DUP_SPAN_L}
+                THEN generate_series(1, len(tk)-{DUP_SPAN_L - 1})
+                ELSE [] END) AS pos,
+         unnest(CASE WHEN len(tk) >= {DUP_SPAN_L}
+                THEN list_transform(
+                  generate_series(1, len(tk)-{DUP_SPAN_L - 1}),
+                  i -> {_ds_gram})
+                ELSE [] END) AS gram
+  FROM toksl
+),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING(gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, (min(pos)-1)::BIGINT AS span_start,
+         (max(pos)+{DUP_SPAN_L - 1})::BIGINT AS span_end,
+         count(*)::BIGINT AS n_grams
+  FROM isl GROUP BY doc_id, island
+)"""
+    sql["dup_spans"] = f"""
+WITH {_ds_spans_cte}
+SELECT doc_id, span_start, span_end, n_grams FROM spans
+ORDER BY doc_id, span_start
+"""
+    sql["dup_span_stats"] = f"""
+WITH {_ds_spans_cte},
+marked AS (
+  SELECT doc_id, span_start, span_end,
+         coalesce(span_start > max(span_end) OVER (
+           PARTITION BY doc_id ORDER BY span_start, span_end
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           true)::INT AS brk
+  FROM spans
+),
+u AS (
+  SELECT doc_id, span_start, span_end,
+         sum(brk) OVER (PARTITION BY doc_id
+                        ORDER BY span_start, span_end
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS isl2
+  FROM marked
+),
+cov AS (
+  SELECT doc_id, sum(mx - mn) AS dup FROM (
+    SELECT doc_id, isl2, min(span_start) AS mn, max(span_end) AS mx
+    FROM u GROUP BY doc_id, isl2
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.tk)::BIGINT AS dl,
+       coalesce(c.dup, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(t.tk) > 0
+            THEN round(coalesce(c.dup, 0) * 1.0 / len(t.tk), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM toksl t LEFT JOIN cov c USING(doc_id)
+ORDER BY doc_id
 """
     _st_any, _st_topn, _st_minfg = SIGTERMS_QUERY
     _st_any_sql = "[" + ", ".join(f"'{t}'" for t in _st_any) + "]"

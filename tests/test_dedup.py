@@ -437,3 +437,106 @@ def test_ngram_overlap_contamination_matches_bruteforce(spark):
     # docs 0 and 3 lose exactly that one shared 4-gram
     assert capped.get(0, 0) == exp[0] - 1
     assert capped.get(3, 0) == exp.get(3, 0) - 1
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans (Lee et al.-style substring dedup, r6)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (0, f"intro one two {shared} outro three"),
+        (1, f"different head {shared} different tail words"),
+        (2, "self repeat block one two three self repeat block one two "
+            "three trailing unique"),
+        (3, "totally unique text with nothing shared anywhere here"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_exact(spark):
+    from visionsearch_spark.operators.dedup import duplicate_spans
+
+    docs = _span_docs(spark)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_grams)
+           for r in duplicate_spans(docs, length=4).collect()}
+    # doc0 tokens: intro one two alpha beta gamma delta epsilon zeta
+    #             outro three  (idx 0..10); shared = idx 3..8
+    # dup 4-grams = those fully inside the shared block: starts 3,4,5
+    # -> one span [3, 9)
+    # doc1: different head alpha..zeta different tail words; shared at
+    # idx 2..7 -> starts 2,3,4 -> span [2, 8)
+    # doc2: "self repeat block one two three" repeated at 0 and 6 ->
+    # every 4-gram of the 6-token period repeats: starts 1..3 (0-based
+    # 0..2 within first copy) ... compute via python oracle instead
+    from visionsearch_spark.analyzer import tokenize
+    import collections
+
+    toks = {r.doc_id: tokenize(r.text) for r in docs.collect()}
+    L = 4
+    cnt = collections.Counter(
+        tuple(t[i:i + L])
+        for t in toks.values() for i in range(len(t) - L + 1)
+    )
+    want = set()
+    for d, t in toks.items():
+        starts = [i for i in range(len(t) - L + 1)
+                  if cnt[tuple(t[i:i + L])] >= 2]
+        run = []
+        for s in starts:
+            if run and s == run[-1] + 1:
+                run.append(s)
+            else:
+                if run:
+                    want.add((d, run[0], run[-1] + L, len(run)))
+                run = [s]
+        if run:
+            want.add((d, run[0], run[-1] + L, len(run)))
+    assert got == want
+    assert any(d == 2 for d, *_ in got)   # within-doc repeat counts
+    assert not any(d in (3, 4) for d, *_ in got)
+
+
+def test_dup_span_stats_interval_union(spark):
+    """Spans with start-gap < length overlap as intervals — the union
+    must not double-count (two dup 3-grams at starts 0 and 2 of a
+    5-token doc cover 5 tokens, not 6)."""
+    from visionsearch_spark.operators.dedup import dup_span_stats
+
+    # docs 0/1 share gram A = "a b c" (starts 0); docs 0/2 share gram
+    # B = "c d e" (doc0 start 2). Doc0 = "a b c d e": islands {0} and
+    # {2} -> spans [0,3) and [2,5): union covers 5 of 5 tokens.
+    rows = [
+        (0, "a b c d e"),
+        (1, "x a b c y"),
+        (2, "z c d e w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.dl, r.dup_tokens, r.dup_ratio)
+           for r in dup_span_stats(docs, length=3).collect()}
+    assert got[0] == (5, 5, 1.0)
+    assert got[1] == (5, 3, 0.6)
+    assert got[2] == (5, 3, 0.6)
+
+
+def test_duplicate_spans_by_hash_parity(spark):
+    from visionsearch_spark.operators.dedup import duplicate_spans
+
+    docs = _span_docs(spark)
+    a = sorted(tuple(r) for r in
+               duplicate_spans(docs, length=4).collect())
+    b = sorted(tuple(r) for r in
+               duplicate_spans(docs, length=4, by_hash=True).collect())
+    assert a == b
+
+
+def test_duplicate_spans_validates(spark):
+    from visionsearch_spark.operators.dedup import duplicate_spans
+
+    docs = _span_docs(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="length"):
+        duplicate_spans(docs, length=1)

@@ -382,6 +382,125 @@ def ngram_overlap_contamination(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def duplicate_spans(docs: DataFrame, length: int = 10,
+                    min_occurrences: int = 2, by_hash: bool = False,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-SPAN detection — the practical Spark form of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span all of whose `length`-grams occur >= min_occurrences times in
+    the corpus. Any duplicated substring of >= length tokens makes each
+    of its length-grams duplicated, so the reported spans COVER every
+    true duplicate of that size; a span is a maximal RUN of consecutive
+    duplicated-gram start positions, so its tokens are duplicated
+    wall-to-wall (no unique token is ever flagged).
+
+    Returns (id_col, span_start, span_end, n_grams): 0-based token
+    offsets, end exclusive. Occurrence counting is corpus-wide (a
+    within-doc repeat of >= length tokens counts too, matching the
+    suffix-array rule).
+
+    Plan: one explode to the (doc, pos, gram) occurrence stream, one
+    groupBy(gram) with map-side partials to find duplicated grams, a
+    semi-join back, then the gaps-and-islands trick (pos − row_number
+    per doc) collapses consecutive starts into spans — one extra
+    doc-keyed shuffle, no self-join, nothing quadratic. by_hash=True
+    groups on xxhash64(gram) instead of the gram string — at 100 TB the
+    L-token gram strings dominate the shuffle and the 64-bit fingerprint
+    is the standard trade (a collision can only ADD a false duplicated
+    gram); the contract row keeps exact strings so the DuckDB twin is
+    byte-equal."""
+    from pyspark.sql import Window
+
+    if length < 2:
+        raise ValueError("span length must be >= 2 tokens")
+    d = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    idxs = F.when(
+        F.size("_t") >= length,
+        F.sequence(F.lit(1), F.size("_t") - (length - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("_t", i, length))
+                    .alias("gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"),
+             F.col("_g.gram").alias("gram"))
+    key = F.xxhash64("gram") if by_hash else F.col("gram")
+    occ = occ.withColumn("_k", key).drop("gram")
+    dup = (
+        occ.groupBy("_k").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("_k")
+    )
+    hits = occ.join(dup, "_k", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        hits.withColumn("_island",
+                        F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_island")
+        .agg(
+            (F.min("pos") - 1).cast("long").alias("span_start"),
+            (F.max("pos") + length - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def dup_span_stats(docs: DataFrame, length: int = 10,
+                   min_occurrences: int = 2, by_hash: bool = False,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc duplicated-span summary (the filter signal a training
+    pipeline thresholds on): (id_col, dl, dup_tokens, dup_ratio) with
+    dup_tokens = tokens covered by the UNION of the doc's duplicated
+    spans and dup_ratio rounded to 6. Spans whose start-gap is smaller
+    than `length` OVERLAP as token intervals (distinct islands, shared
+    tokens), so the union is a real interval merge — a second
+    gaps-and-islands pass on (start > running-max end), where each
+    merged chain overlaps-or-touches pairwise and therefore covers
+    exactly [min_start, max_end). Docs with no duplicated span report
+    0/0.0."""
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(docs, length=length,
+                            min_occurrences=min_occurrences,
+                            by_hash=by_hash, text_col=text_col,
+                            id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy("span_start", "span_end")
+    prev_max = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = (prev_max.isNull()
+           | (F.col("span_start") > prev_max)).cast("int")
+    merged = (
+        spans.withColumn("_brk", brk)
+        .withColumn("_isl", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "_isl")
+        .agg((F.max("span_end") - F.min("span_start")).alias("_cov"))
+    )
+    per_doc = merged.groupBy(id_col).agg(F.sum("_cov").alias("_dup"))
+    base = docs.select(F.col(id_col),
+                       F.size(tokens_col(text_col)).cast("long")
+                       .alias("dl"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col, "dl",
+        F.coalesce("_dup", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(F.col("dl") > 0,
+               F.round(F.coalesce("_dup", F.lit(0)) / F.col("dl"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_shingle_df: int | None = 1000) -> DataFrame:
