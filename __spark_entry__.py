@@ -397,6 +397,22 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PROXIMITY_QUERY = (["table", "scan"], 6, 20)
+PHRASE_SLOP_QUERY = ("table scan", 2, 20)  # (phrase, slop, k)
+
+
+def _bm25_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sloppy phrase (Lucene SpanNear inOrder=true, r6): terms
+    in order with total span <= len+slop-1, verified by the positional
+    kernel's greedy earliest-successor chain; BM25 over the phrase's
+    terms with global stats unchanged."""
+    from visionsearch_spark.query.boolean import phrase_topk
+
+    qtext, slop, k = PHRASE_SLOP_QUERY
+    store = get_documents_index(spark, sf_dir)
+    res = phrase_topk(spark, store, qtext, k=k, slop=slop)
+    return res.select(
+        doc_id_col().alias("doc_id"), F.round("score", 6).alias("score")
+    )
 
 
 def _bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "search_numeric_stats": _search_numeric_stats,
             "dup_spans": _dup_spans,
             "dup_span_stats": _dup_span_stats,
+            "bm25_phrase_slop": _bm25_phrase_slop,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1378,7 +1395,7 @@ _ROUND_CHANGED = [
     "bm25_phrase", "bm25_proximity", "percolate_queries",
     "percolate_advanced", "search_range_facets", "date_histogram_events",
     "significant_terms", "search_numeric_stats", "dup_spans",
-    "dup_span_stats",
+    "dup_span_stats", "bm25_phrase_slop",
 ]
 
 
@@ -2479,6 +2496,20 @@ WHERE tf.doc_id = (SELECT doc_id FROM top1)
             f"len({toks}) >= 2 AND list_contains("
             f"list_transform(generate_series(1, len({toks})-1), "
             f"i -> {toks}[i] || ' ' || {toks}[i+1]), '{_ph}')"
+        ),
+    )
+    # ordered sloppy phrase (2 tokens): exists i with t0 at i and t1 in
+    # (i, i+1+slop] — mirror of the positional chain for m=2
+    _ps_phrase, _ps_slop, _ps_k = PHRASE_SLOP_QUERY
+    _ps_t = tokenize(_ps_phrase)
+    assert len(_ps_t) == 2, "slop oracle written for 2-token phrases"
+    sql["bm25_phrase_slop"] = _bm25_oracle(
+        [(0, " ".join(sorted(set(_ps_t))), _ps_k)], with_qid=False,
+        doc_pred=(
+            f"len(list_filter(generate_series(1, len({toks})), "
+            f"i -> {toks}[i] = '{_ps_t[0]}' AND len(list_filter("
+            f"generate_series(i+1, least(len({toks}), i+1+{_ps_slop})), "
+            f"j -> {toks}[j] = '{_ps_t[1]}')) > 0)) > 0"
         ),
     )
     # proximity containment as a doc predicate: some window of W

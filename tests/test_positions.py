@@ -252,3 +252,71 @@ def test_fsck_catches_null_pos_bin(spark, transcripts, tmp_path_factory):
     store.write_meta(meta)
     rep = fsck(root)
     assert not rep["positions"]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# ordered sloppy phrase (SpanNear inOrder=true)
+# ---------------------------------------------------------------------------
+
+def _slop_match(doc_tokens, toks, slop):
+    """Exhaustive oracle: exists in-order positions with span <=
+    len(toks)-1+slop."""
+    m = len(toks)
+    out = []
+    for d, tk in doc_tokens.items():
+        hit = False
+        for p0 in range(len(tk)):
+            if tk[p0] != toks[0]:
+                continue
+            # greedy earliest successors
+            cur = p0
+            ok = True
+            for t in toks[1:]:
+                nxt = next((j for j in range(cur + 1, len(tk))
+                            if tk[j] == t), None)
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok and cur - p0 <= m - 1 + slop:
+                hit = True
+                break
+        if hit:
+            out.append(d)
+    return sorted(out)
+
+
+def test_sloppy_phrase_exact(spark, pos_store, doc_tokens):
+    for phrase, slop in [("join filter", 2), ("join filter", 0),
+                         ("the fast", 3), ("join filter stream", 4),
+                         ("filter join", 1)]:
+        toks = tokenize(phrase)
+        got = _ids(phrase_docids(spark, pos_store, phrase, slop=slop))
+        assert got == _slop_match(doc_tokens, toks, slop), (phrase, slop)
+
+
+def test_sloppy_phrase_slop0_equals_exact(spark, pos_store):
+    for phrase in ["join filter", "table scan"]:
+        assert _ids(phrase_docids(spark, pos_store, phrase, slop=0)) \
+            == _ids(phrase_docids(spark, pos_store, phrase))
+
+
+def test_sloppy_phrase_widens_monotonically(spark, pos_store):
+    prev: set = set()
+    for slop in [0, 1, 3, 8]:
+        cur = set(_ids(phrase_docids(spark, pos_store, "join filter",
+                                     slop=slop)))
+        assert prev <= cur, slop
+        prev = cur
+
+
+def test_sloppy_phrase_requires_positions(spark, transcripts,
+                                          tmp_path_factory):
+    from visionsearch_spark.index.spimi import build_index as _bi
+
+    root = str(tmp_path_factory.mktemp("noposslop"))
+    store = _bi(transcripts, root, n_partitions=8)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_docids(spark, store, "join filter", slop=2)
+    with pytest.raises(ValueError, match="slop"):
+        phrase_docids(spark, store, "join filter", slop=-1)

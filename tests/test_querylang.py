@@ -20,7 +20,7 @@ def test_parse_signs_and_boosts():
 
 def test_parse_phrase_and_single_token_phrase():
     p = parse_query('"table scan" "single"')
-    assert p.phrases == ["table scan"]
+    assert p.phrases == [("table scan", 0)]
     assert p.should == ["single"]
 
 
@@ -152,3 +152,24 @@ def test_pagination_composes(spark, store):
         search_after=(last["score"], last["conv_id"], last["turn_idx"]),
     ).collect(), key=lambda r: r["rank"])
     assert [(r["docid"], round(r["score"], 9)) for r in p1 + p2] == full
+
+
+def test_slop_phrase_clause_equals_sloppy_phrase_topk(spark, transcripts,
+                                                      tmp_path_factory):
+    from visionsearch_spark.index.spimi import build_index
+    from visionsearch_spark.query.boolean import phrase_topk
+    from visionsearch_spark.query.querylang import parse_query, query_string_topk
+
+    assert parse_query('"join filter"~3').phrases == [("join filter", 3)]
+    assert parse_query('"join filter"~').phrases == [("join filter", 2)]
+    root = str(tmp_path_factory.mktemp("qlslop"))
+    pstore = build_index(transcripts, root, n_partitions=8,
+                         positions=True)
+    got = query_string_topk(spark, pstore, '"join filter"~3', k=10)
+    want = phrase_topk(spark, pstore, "join filter", k=10, slop=3)
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in want.collect()]
+    # widens over the exact phrase
+    exact = query_string_topk(spark, pstore, '"join filter"', k=200)
+    sloppy = query_string_topk(spark, pstore, '"join filter"~4', k=200)
+    assert exact.count() <= sloppy.count()

@@ -42,14 +42,14 @@ def test_parser_total_and_well_formed(q):
         assert TOKEN.match(t) and 0 <= e <= 9, (q, t, e)
     for b in p.boosts.values():
         assert b >= 0.0
-    for ph in p.phrases:
-        assert len(set(ph.split())) >= 1
+    for ph, slop in p.phrases:
+        assert len(set(ph.split())) >= 1 and slop >= 0
 
 
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.sampled_from(
     ["join", "+join", "-dup", '"table scan"', "fil*", "fuzz~1",
-     "stream^2", "w?ld", "café"]), min_size=0, max_size=8))
+     "stream^2", "w?ld", "café", '"table scan"~2']), min_size=0, max_size=8))
 def test_parser_stable_on_clause_soup(parts):
     q = " ".join(parts)
     p = parse_query(q)  # grammar-only input never raises

@@ -199,18 +199,29 @@ def matching_docids(
     return matched
 
 
-def _make_positional_fn(toks: list[str], window: int | None):
+def _make_positional_fn(toks: list[str], window: int | None,
+                        slop: int | None = None):
     """mapInArrow kernel: path-pack rows in, positionally-matching docids
-    out. window=None → exact ORDERED phrase (token i of `toks` at p+i);
-    window=w → every DISTINCT term co-occurs within some w consecutive
-    tokens (unordered SpanNear). Per-file exactness per the module
-    docstring (files are shard-complete). Occurrences are keyed
-    docid<<32 | position (docid < 2^31, position < 2^32 → int64-safe),
-    so phrase adjacency is pure sorted-set intersection of shifted keys
-    and the window check is a vectorized sliding count — O(postings of
-    the query's terms), never O(candidate tokens) like the staged-text
-    fallback. Only docids_bin/tfs_bin/pos_bin of the query's terms are
-    decoded."""
+    out. Three modes:
+      window=None, slop=None → exact ORDERED phrase (token i at p+i);
+      window=w               → every DISTINCT term within some w
+                               consecutive tokens (unordered SpanNear);
+      slop=s                 → ORDERED sloppy phrase (Lucene SpanNear
+                               inOrder=true): positions p_0<…<p_{m-1}
+                               matching token order with p_{m-1}−p_0 ≤
+                               m−1+s; s=0 degenerates to the exact
+                               phrase. Found by the greedy
+                               earliest-successor chain (optimal: the
+                               earliest next occurrence minimizes the
+                               span for a given start), vectorized over
+                               every start via np.searchsorted on keys.
+    Per-file exactness per the module docstring (files are
+    shard-complete). Occurrences are keyed docid<<32 | position
+    (docid < 2^31, position < 2^32 → int64-safe), so phrase adjacency is
+    pure sorted-set intersection of shifted keys and the window check is
+    a vectorized sliding count — O(postings of the query's terms), never
+    O(candidate tokens) like the staged-text fallback. Only
+    docids_bin/tfs_bin/pos_bin of the query's terms are decoded."""
     from visionsearch_spark.index.codec import decode_docids, decode_positions, decode_varint
 
     read_terms = sorted(set(toks))
@@ -254,7 +265,25 @@ def _make_positional_fn(toks: list[str], window: int | None):
                 return np.empty(0, dtype=np.int64)
             return np.sort(np.concatenate(arrs))
 
-        if window is None:
+        if slop is not None:
+            m = len(toks)
+            k_all = [keys(t) for t in toks]
+            if any(k.size == 0 for k in k_all):
+                return
+            start = k_all[0]
+            cur = start.copy()
+            alive = np.ones(start.size, dtype=bool)
+            for i in range(1, m):
+                nxt = k_all[i]
+                idx = np.searchsorted(nxt, cur, side="right")
+                valid = idx < nxt.size
+                cand = nxt[np.minimum(idx, nxt.size - 1)]
+                alive &= valid & (
+                    (cand >> np.int64(32)) == (start >> np.int64(32)))
+                cur = np.where(alive, cand, cur)
+            ok = alive & ((cur - start) <= np.int64(m - 1 + slop))
+            docs = np.unique(start[ok] >> np.int64(32))
+        elif window is None:
             base = keys(toks[0])
             for i, t in enumerate(toks[1:], start=1):
                 if not base.size:
@@ -299,13 +328,15 @@ def positional_docids(
     store: IndexStore,
     toks: list[str],
     window: int | None = None,
+    slop: int | None = None,
     n_tasks: int | None = None,
 ) -> DataFrame:
-    """DataFrame('docid long') of docs with a positional match (phrase
-    when window is None, unordered proximity otherwise) — the index-only
-    verify path for stores built with positions=True. Same file-aligned
-    zero-shuffle plumbing as matching_docids: bloom-pruned whole files to
-    route-keyed tasks, tombstones anti-joined after."""
+    """DataFrame('docid long') of docs with a positional match (exact
+    phrase by default; unordered window when `window` is set; ordered
+    sloppy phrase when `slop` is set — see _make_positional_fn) — the
+    index-only verify path for stores built with positions=True. Same
+    file-aligned zero-shuffle plumbing as matching_docids: bloom-pruned
+    whole files to route-keyed tasks, tombstones anti-joined after."""
     empty = wand._local_df(spark, [], "docid long", ["docid"])
     meta = store.read_meta()
     if int(meta.get("n_docs", 0)) == 0:
@@ -326,7 +357,8 @@ def positional_docids(
     )
     matched = (
         paths_df.repartition(len(bins), "route_key")
-        .mapInArrow(_make_positional_fn(toks, window), "docid long")
+        .mapInArrow(_make_positional_fn(toks, window, slop=slop),
+                    "docid long")
     )
     tomb = meta.get("tombstone_dirs") or []
     if tomb:
@@ -392,17 +424,31 @@ def phrase_docids(
     spark: SparkSession,
     store: IndexStore,
     phrase: str,
+    slop: int = 0,
     n_tasks: int | None = None,
 ) -> DataFrame:
-    """DataFrame('docid long') of docs containing the EXACT analyzed
-    token sequence. Candidates = conjunctive index match; adjacency =
-    m-gram containment over the staged text (JVM array ops), scanned
-    candidate-only."""
+    """DataFrame('docid long') of docs containing the analyzed token
+    sequence — exact adjacency at slop=0, Lucene SpanNear(inOrder=true,
+    slop) otherwise (terms in order, total span ≤ len+slop−1 tokens).
+    slop>0 REQUIRES a positional store: the staged-text fallback only
+    implements exact m-gram containment. On flagless stores (or
+    VSS_PHRASE_FORCE_STAGED=1) the exact form verifies candidates on
+    staged text, candidate-only."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     toks = tokenize(phrase)
     if not toks:
         return wand._local_df(spark, [], "docid long", ["docid"])
-    if len(toks) > 1 and store.has_positions() \
-            and not _os.environ.get(_FORCE_STAGED_ENV):
+    positional_ok = store.has_positions() \
+        and not _os.environ.get(_FORCE_STAGED_ENV)
+    if slop > 0 and len(toks) > 1:
+        if not positional_ok:
+            raise ValueError(
+                "sloppy phrases need a store built with positions=True"
+            )
+        return positional_docids(spark, store, toks, slop=slop,
+                                 n_tasks=n_tasks)
+    if len(toks) > 1 and positional_ok:
         return positional_docids(spark, store, toks, window=None,
                                  n_tasks=n_tasks)
     cands = matching_docids(spark, store, all_of=toks, n_tasks=n_tasks)
@@ -437,18 +483,20 @@ def phrase_topk(
     k: int = 5,
     threshold: float = 0.0,
     query_id: int = 0,
+    slop: int = 0,
     search_after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
-    """Exact-phrase BM25 top-k: rank only docs containing the analyzed
-    token sequence, scored over the phrase's terms with UNCHANGED global
-    stats (filter-the-results semantics, like every sideband query).
-    search_after: cursor for the next page of the same ranking."""
+    """Phrase BM25 top-k (exact at slop=0, ordered sloppy otherwise):
+    rank only docs containing the analyzed token sequence, scored over
+    the phrase's terms with UNCHANGED global stats (filter-the-results
+    semantics, like every sideband query). search_after: cursor for the
+    next page of the same ranking."""
     toks = tokenize(phrase)
     if not toks:
         return wand._local_df(
             spark, [], wand.RESULT_DDL, wand.RESULT_COLUMNS
         )
-    verified = phrase_docids(spark, store, phrase)
+    verified = phrase_docids(spark, store, phrase, slop=slop)
     qtext = " ".join(sorted(set(toks)))
     return wand.batch_topk(
         spark, store, [(query_id, qtext, k)], threshold=threshold,

@@ -12,6 +12,8 @@ users type flat queries, and flat composes with every sideband):
                (+/- apply to plain terms only; on phrases or
                expansions the parser raises rather than misparse)
   "a b c"      exact phrase (adjacent analyzed tokens; phrase verify)
+  "a b c"~N    ordered sloppy phrase (SpanNear inOrder, slop N; ~ alone
+               means N=2; needs a positional store)
   term*        prefix expansion   (term-dictionary rewrite)
   te*m / te?m  wildcard expansion
   term~ [N]    fuzzy expansion, max_edits N (default 2)
@@ -50,6 +52,7 @@ _CLAUSE_RE = re.compile(
     (?P<sign>[+-])?
     (?:
         "(?P<phrase>[^"]*)"
+        (?P<pslop>~(?P<slopn>\d+)?)?
       | (?P<body>[^\s"^~]+)
         (?P<fuzzy>~(?P<edits>\d)?)?
     )
@@ -64,7 +67,7 @@ class ParsedQuery:
     must: list[str] = field(default_factory=list)       # analyzed terms
     must_not: list[str] = field(default_factory=list)
     should: list[str] = field(default_factory=list)
-    phrases: list[str] = field(default_factory=list)    # raw phrase text
+    phrases: list[tuple[str, int]] = field(default_factory=list)  # (raw text, slop)
     prefixes: list[str] = field(default_factory=list)
     wildcards: list[str] = field(default_factory=list)
     fuzzies: list[tuple[str, int]] = field(default_factory=list)
@@ -93,7 +96,10 @@ def parse_query(q: str) -> ParsedQuery:
                 raise ValueError(
                     'negated phrases (-"...") are not supported — '
                     "negation applies to plain terms only")
-            out.phrases.append(m.group("phrase"))
+            slop = 0
+            if m.group("pslop"):
+                slop = int(m.group("slopn") or 2)
+            out.phrases.append((m.group("phrase"), slop))
             for t in toks:
                 if boost is not None:
                     out.boosts[t] = boost
@@ -176,7 +182,7 @@ def query_string_topk(
     for term, edits in p.fuzzies:
         exp_terms += [t for t, _df in multiterm.expand_fuzzy(
             spark, store, term, edits, 0, max_expansions)]
-    phrase_terms = [t for ph in p.phrases for t in tokenize(ph)]
+    phrase_terms = [t for ph, _s in p.phrases for t in tokenize(ph)]
     scoring = sorted(set(p.must) | set(p.should) | set(exp_terms)
                      | set(phrase_terms))
     if not scoring:
@@ -192,8 +198,8 @@ def query_string_topk(
             sorted(set(scoring) - set(p.must_not)),
             none_of=p.must_not or None,
         )
-    for ph in p.phrases:
-        ph_ids = phrase_docids(spark, store, ph)
+    for ph, slop in p.phrases:
+        ph_ids = phrase_docids(spark, store, ph, slop=slop)
         allow = ph_ids if allow is None else \
             allow.join(ph_ids, "docid")  # phrase ∧ boolean: intersect
 
