@@ -25,6 +25,11 @@ captions instead of redoing work):
                  cannot judge them — the token band catches them)
   dedup          dedup_corpus: MinHash-LSH near-dup pairs → connected
                  components → keep min-id representative
+  spandedup      (with --max-dup-ratio) substring-dedup gate: drop docs
+                 whose duplicated-span token coverage
+                 (operators/dedup.dup_span_stats over the deduped set —
+                 Lee et al.-style L-gram spans, interval-unioned)
+                 exceeds the cap; pass-through when omitted
   decontaminate  cross_contamination vs --benchmark: drop corpus docs
                  whose shingle sets near-match any benchmark doc
                  (skipped when no benchmark is given)
@@ -48,7 +53,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGES = ("scrub", "filter", "dedup", "decontaminate", "pack", "report")
+STAGES = ("scrub", "filter", "dedup", "spandedup", "decontaminate",
+          "pack", "report")
 
 # Gopher-style repetition caps (dup n-gram mass / dominant-term share)
 DUP_2GRAM_MAX = 0.20
@@ -110,6 +116,8 @@ def prepare_training_set(
     max_tokens: int = 1000,
     tau: float = 0.5,
     max_nll: float | None = None,
+    max_dup_ratio: float | None = None,
+    span_length: int = 10,
 ) -> dict:
     """Run (or resume) the pipeline; returns {stage: rows_out}."""
     from visionsearch_spark.operators.dedup import (
@@ -161,15 +169,32 @@ def prepare_training_set(
                    dedup_corpus(filter_df, tau=tau))
     dedup_df = spark.read.parquet(_stage_dir(out, "dedup"))
 
+    if not _is_done(out, "spandedup"):
+        if max_dup_ratio is None:
+            span_ok = dedup_df
+        else:
+            from visionsearch_spark.operators.dedup import dup_span_stats
+
+            # spans measured over the SURVIVING set: MinHash removed the
+            # whole-doc copies, this catches boilerplate-heavy docs whose
+            # duplicated-token coverage exceeds the cap
+            bad = dup_span_stats(dedup_df, length=span_length,
+                                 by_hash=True).filter(
+                F.col("dup_ratio") > max_dup_ratio
+            ).select("doc_id")
+            span_ok = dedup_df.join(bad, "doc_id", "left_anti")
+        _run_stage(out, "spandedup", dedup_df.count(), span_ok)
+    span_df = spark.read.parquet(_stage_dir(out, "spandedup"))
+
     if not _is_done(out, "decontaminate"):
         if benchmark_path is None:
-            survivors = dedup_df
+            survivors = span_df
         else:
             bench = spark.read.parquet(benchmark_path)
-            hits = cross_contamination(dedup_df, bench, tau=tau) \
+            hits = cross_contamination(span_df, bench, tau=tau) \
                 .select(F.col("corpus_id").alias("doc_id")).distinct()
-            survivors = dedup_df.join(hits, "doc_id", "left_anti")
-        _run_stage(out, "decontaminate", dedup_df.count(), survivors)
+            survivors = span_df.join(hits, "doc_id", "left_anti")
+        _run_stage(out, "decontaminate", span_df.count(), survivors)
     final_df = spark.read.parquet(_stage_dir(out, "decontaminate"))
 
     if not _is_done(out, "pack"):
@@ -204,6 +229,11 @@ def main() -> None:
     p.add_argument("--max-nll", type=float, default=None,
                    help="perplexity gate: drop docs with avg bigram-LM "
                         "NLL above this (off when omitted)")
+    p.add_argument("--max-dup-ratio", type=float, default=None,
+                   help="substring-dedup gate: drop docs whose "
+                        "duplicated-span token coverage exceeds this "
+                        "(off when omitted)")
+    p.add_argument("--span-length", type=int, default=10)
     args = p.parse_args()
 
     spark = (SparkSession.builder.appName("prepare-training-set")
@@ -218,6 +248,8 @@ def main() -> None:
         max_tokens=args.max_tokens,
         tau=args.tau,
         max_nll=args.max_nll,
+        max_dup_ratio=args.max_dup_ratio,
+        span_length=args.span_length,
     )
     for stage in STAGES:
         if stage in counts:

@@ -96,8 +96,8 @@ def test_resume_skips_committed_stages(spark, prepared):
     before = read_manifest(out)
     mtimes = {
         s: os.path.getmtime(os.path.join(out, s, "_SUCCESS"))
-        for s in ("scrub", "filter", "dedup", "decontaminate", "pack",
-                  "report")
+        for s in ("scrub", "filter", "dedup", "spandedup",
+                  "decontaminate", "pack", "report")
     }
     counts = prepare_training_set(spark, DOCS, out,
                                   benchmark_path=bench_path)
@@ -136,8 +136,8 @@ def test_partial_resume_reruns_only_missing_stages(spark, prepared,
     assert os.path.getmtime(
         os.path.join(out2, "scrub", "_SUCCESS")) == m_scrub
     stages_run = [m["stage"] for m in read_manifest(out2)]
-    assert stages_run == ["scrub", "filter", "dedup", "decontaminate",
-                          "pack", "report"]
+    assert stages_run == ["scrub", "filter", "dedup", "spandedup",
+                          "decontaminate", "pack", "report"]
 
 
 def test_cli_end_to_end(tmp_path_factory):
@@ -210,3 +210,22 @@ def test_perplexity_gate(spark, tmp_path_factory):
     base = scrubbed.join(keep, "doc_id").join(rep_ok, "doc_id").count()
     assert counts["filter"] == exp
     assert exp < base  # the gate did real work at the median cap
+
+
+def test_spandedup_gate(spark, prepared, tmp_path_factory):
+    """--max-dup-ratio drops boilerplate-heavy docs; pass-through when
+    omitted (counts equal the dedup stage)."""
+    from jobs.prepare_training_set import prepare_training_set
+    from visionsearch_spark.operators.dedup import dup_span_stats
+
+    out, bench_path, counts = prepared
+    assert counts["spandedup"] == counts["dedup"]  # default off
+
+    out2 = str(tmp_path_factory.mktemp("prep_span")) + "/out"
+    counts2 = prepare_training_set(spark, DOCS, out2,
+                                   benchmark_path=bench_path,
+                                   max_dup_ratio=0.5, span_length=5)
+    dedup_df = spark.read.parquet(os.path.join(out2, "dedup"))
+    bad = dup_span_stats(dedup_df, length=5, by_hash=True).filter(
+        F.col("dup_ratio") > 0.5).count()
+    assert counts2["spandedup"] == counts2["dedup"] - bad
