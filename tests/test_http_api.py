@@ -370,3 +370,18 @@ def test_bearer_auth_gate(spark, transcripts, tmp_path_factory):
             assert r.status == 200
     finally:
         srv.shutdown()
+
+
+def test_search_zero_hits_offers_did_you_mean(served):
+    url, searcher, *_ = served
+    # a typo of a known term: zero hits, correction present
+    code, resp = _get(f"{url}/search?q=joinx+filterx&k=5")
+    assert code == 200 and resp["hits"] == []
+    assert "did_you_mean" in resp
+    corrected = resp["did_you_mean"]
+    assert searcher.did_you_mean("joinx filterx")[0] == corrected
+    # and the corrected query actually hits
+    code, resp2 = _get(
+        f"{url}/search?q={corrected.replace(' ', '+')}&k=5")
+    assert code == 200 and resp2["hits"]
+    assert "did_you_mean" not in resp2  # hits -> no suggestion

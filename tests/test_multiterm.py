@@ -224,3 +224,58 @@ def test_boosted_pagination_composes(spark, mt_store):
         search_after=(last["score"], last["conv_id"], last["turn_idx"]),
     ).collect(), key=lambda r: r["rank"])
     assert [r["docid"] for r in p1 + p2] == [r["docid"] for r in full]
+
+
+# ---------------------------------------------------------------------------
+# spell correction ("did you mean", r6)
+# ---------------------------------------------------------------------------
+
+def test_term_df_point_lookup(mt_store):
+    from visionsearch_spark.query.multiterm import term_df
+
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(mt_store.term_stats_paths()[0]).to_table().to_pandas()
+    row = ts.sort_values("df", ascending=False).iloc[0]
+    assert term_df(mt_store, str(row["term"])) == int(row["df"])
+    assert term_df(mt_store, "zzzznotaword") == 0
+    assert term_df(mt_store, "two words") == 0  # non-single-token -> 0
+
+
+def test_did_you_mean_corrects_oov_only(mt_store):
+    from visionsearch_spark.query.multiterm import (
+        did_you_mean,
+        expand_fuzzy,
+        term_df,
+    )
+
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(mt_store.term_stats_paths()[0]).to_table().to_pandas()
+    target = str(ts.sort_values("df", ascending=False).iloc[0]["term"])
+    assert len(target) >= 3
+    typo = target[:-1] + ("x" if target[-1] != "x" else "q")
+    if term_df(mt_store, typo) > 0:  # typo accidentally a real term
+        typo = target + "zz"
+    want = expand_fuzzy(None, mt_store, typo, max_edits=2,
+                        use_spark=False)[0][0]
+    got = did_you_mean(mt_store, f"{target} {typo}")
+    assert got == (f"{target} {want}", 1)
+    # all-known query -> nothing to correct
+    assert did_you_mean(mt_store, target) is None
+    # hopeless OOV with no candidate in range -> None
+    assert did_you_mean(mt_store, "qqqqqqqqqqqqqqqqqqqq") is None
+    assert did_you_mean(mt_store, "") is None
+
+
+def test_did_you_mean_serving_parity(mt_store):
+    from visionsearch_spark.query.multiterm import did_you_mean
+    from visionsearch_spark.query.serving import (
+        LocalSearcher,
+        ShardedSearcher,
+    )
+
+    q = "joinx filter"
+    want = did_you_mean(mt_store, q)
+    assert LocalSearcher(mt_store).did_you_mean(q) == want
+    assert ShardedSearcher(mt_store, n_groups=2).did_you_mean(q) == want

@@ -251,6 +251,48 @@ def expand_fuzzy(
     )
 
 
+def term_df(store: IndexStore, term: str) -> int:
+    """Driver-side exact df of one analyzed term (pyarrow range-pruned
+    point lookup over term_stats — no Spark job). 0 for OOV."""
+    toks = tokenize(term)
+    if len(toks) != 1:
+        return 0
+    t = toks[0]
+    return sum(d for _t, d in _driver_vocab(store, t, t + "\x00"))
+
+
+def did_you_mean(store: IndexStore, query: str, max_edits: int = 2,
+                 max_expansions: int = 10) -> tuple[str, int] | None:
+    """'Did you mean' (the ES phrase-suggester shape, served
+    driver-side with zero Spark jobs): each OOV analyzed query term is
+    replaced by its highest-df dictionary term within `max_edits`
+    Levenshtein edits (ties term-asc, the expand_fuzzy order); known
+    terms pass through untouched — a correction never second-guesses a
+    term that actually matches. Returns (corrected_query, n_corrected)
+    or None when nothing was corrected (all terms known, or no
+    candidate in range for any OOV term)."""
+    toks = tokenize(query)
+    if not toks:
+        return None
+    out: list[str] = []
+    n = 0
+    for t in toks:
+        if term_df(store, t) > 0:
+            out.append(t)
+            continue
+        cands = expand_fuzzy(None, store, t, max_edits=max_edits,
+                             max_expansions=max_expansions,
+                             use_spark=False)
+        if cands:
+            out.append(cands[0][0])
+            n += 1
+        else:
+            out.append(t)
+    if n == 0:
+        return None
+    return " ".join(out), n
+
+
 # ------------------------------------------------------------------ topk
 
 def _rewrite_topk(spark: SparkSession, store: IndexStore,

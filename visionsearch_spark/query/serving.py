@@ -314,6 +314,16 @@ class LocalSearcher:
 
         return expand_prefix(None, self.store, prefix, n, use_spark=False)
 
+    def did_you_mean(self, query: str, max_edits: int = 2
+                     ) -> tuple[str, int] | None:
+        """Spell correction over the term dictionary ('did you mean' —
+        ES phrase suggester): OOV query terms replaced by their
+        highest-df dictionary term within max_edits; None when nothing
+        to correct. Spark-free (query/multiterm.did_you_mean)."""
+        from visionsearch_spark.query.multiterm import did_you_mean
+
+        return did_you_mean(self.store, query, max_edits=max_edits)
+
     def search_highlighted(self, query: str, k: int = 5,
                            threshold: float = 0.0,
                            term_weights: dict[str, float] | None = None,
@@ -535,6 +545,14 @@ class ShardedSearcher:
         from visionsearch_spark.query.multiterm import expand_prefix
 
         return expand_prefix(None, self.store, prefix, n, use_spark=False)
+
+    def did_you_mean(self, query: str, max_edits: int = 2
+                     ) -> tuple[str, int] | None:
+        """Spell correction over the FULL dictionary (term_stats spans
+        every shard group — no scatter-gather)."""
+        from visionsearch_spark.query.multiterm import did_you_mean
+
+        return did_you_mean(self.store, query, max_edits=max_edits)
 
     def search_highlighted(self, query: str, k: int = 5,
                            threshold: float = 0.0,

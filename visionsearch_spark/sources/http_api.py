@@ -209,6 +209,14 @@ class ServingApp:
                         "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
                         "hits": rows,
                     }
+                    if not rows and after is None:
+                        # zero-hit first page: offer a spell correction
+                        # ("did you mean" — ES suggester trigger); a
+                        # Spark-free dictionary scan, only paid on empty
+                        # results
+                        dym = app.searcher.did_you_mean(q)
+                        if dym is not None:
+                            resp["did_you_mean"] = dym[0]
                     if len(rows) == k and rows:
                         resp["next_after"] = {
                             "score": rows[-1]["score"],
