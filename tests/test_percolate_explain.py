@@ -197,3 +197,63 @@ def test_explain_masks_tombstoned_doc(spark, store, tmp_path):
         [(hit["conv_id"],)], "conv_id string"))
     assert explain_score(spark, st, "join", hit["conv_id"],
                          hit["turn_idx"]).count() == 0
+
+
+def test_percolate_one_matches_batch(spark, docs):
+    """The serving-tier single-doc form gives EXACTLY the batch answer
+    doc-by-doc, for plain and clause queries alike."""
+    from visionsearch_spark.operators.percolate import percolate_one
+
+    for queries in (QUERIES, ADV_QUERIES):
+        want: dict = {}
+        for r in percolate(docs, queries).collect():
+            want.setdefault(r["doc_id"], []).append(r["query_id"])
+        for row in docs.collect():
+            got = percolate_one(queries, row["text"])
+            assert got == sorted(want.get(row["doc_id"], [])), row["doc_id"]
+
+
+def test_percolate_http_endpoint(spark, docs, tmp_path):
+    import json as _json
+    import threading
+    import urllib.request
+
+    from visionsearch_spark.index.spimi import build_index
+    from visionsearch_spark.operators.percolate import percolate_one
+    from visionsearch_spark.query.serving import LocalSearcher
+    from visionsearch_spark.sources.http_api import ServingApp
+
+    tx = docs.sparkSession.createDataFrame(
+        [("c-1", 1, "user", "join filter text", "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    store = build_index(tx, str(tmp_path / "idx"), n_partitions=2)
+    app = ServingApp(LocalSearcher(store),
+                     spool_dir=str(tmp_path / "spool"),
+                     percolate_queries=ADV_QUERIES)
+    srv = app.make_server()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        sample = docs.limit(3).collect()
+        for row in sample:
+            req = urllib.request.Request(
+                url + "/percolate",
+                data=_json.dumps({"text": row["text"]}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req) as r:
+                resp = _json.loads(r.read())
+            assert resp["matched_query_ids"] \
+                == percolate_one(ADV_QUERIES, row["text"])
+        # bad body -> 400
+        req = urllib.request.Request(
+            url + "/percolate", data=b'{"text": 5}',
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

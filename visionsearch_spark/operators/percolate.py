@@ -169,6 +169,38 @@ def percolate(docs: DataFrame, queries,
     return cand
 
 
+def percolate_one(queries, text: str) -> list[int]:
+    """Driver-side single-document percolation — the serving-tier twin
+    of :func:`percolate` (one alert check per incoming doc, no Spark
+    job): returns the sorted query_ids the analyzed text satisfies,
+    under EXACTLY the batch semantics (same _norm_query normalization,
+    same conjunctive/negation/phrase rules — parity is test-pinned).
+    The registered set is small by nature; per-doc cost is
+    O(tokens + phrase occurrences)."""
+    toks = tokenize(text)
+    tset = set(toks)
+    out = []
+    for qid, spec in queries:
+        norm = _norm_query(qid, spec)
+        if norm is None:
+            continue
+        req, exc, phrases = norm
+        if not set(req) <= tset:
+            continue
+        if any(t in tset for t in exc):
+            continue
+        ok = True
+        for ph in phrases:
+            m = len(ph)
+            if not any(toks[i:i + m] == ph
+                       for i in range(len(toks) - m + 1)):
+                ok = False
+                break
+        if ok:
+            out.append(qid)
+    return sorted(out)
+
+
 def percolate_stream(stream_docs: DataFrame,
                      queries: list[tuple[int, str]],
                      out_path: str,

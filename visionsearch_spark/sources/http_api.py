@@ -94,11 +94,16 @@ class ServingApp:
 
     def __init__(self, searcher, spool_dir: str, static_dir: str | None = None,
                  max_upload_mb: int = DEFAULT_MAX_UPLOAD_MB,
-                 auth_token: str | None = None, vec_searcher=None):
+                 auth_token: str | None = None, vec_searcher=None,
+                 percolate_queries=None):
         self.searcher = searcher
         # optional LocalVectorSearcher (query/serving.py) — enables the
         # POST /hybrid endpoint (RRF text+vector fusion); None = 404
         self.vec_searcher = vec_searcher
+        # optional registered percolation rules [(query_id, spec)]
+        # (operators/percolate.py spec forms) — enables POST /percolate
+        # (which saved searches match this doc); None = 404
+        self.percolate_queries = percolate_queries
         self.spool_dir = spool_dir
         self.static_dir = os.path.realpath(static_dir) if static_dir else None
         self.max_upload_bytes = int(max_upload_mb * 1024 * 1024)
@@ -371,6 +376,40 @@ class ServingApp:
                             {"conv_id": cv, "rank": r, "fused": f}
                             for cv, r, f in hits
                         ],
+                    })
+                    return
+                if u.path == "/percolate":
+                    # serving-tier reverse search: which registered
+                    # saved-search rules match this document (the
+                    # alerting check per incoming doc, Spark-free —
+                    # operators/percolate.percolate_one, batch-parity
+                    # test-pinned)
+                    if not self._authed():
+                        return
+                    if app.percolate_queries is None:
+                        self._json(404, {
+                            "error": "no percolation rules registered"})
+                        return
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                        body = json.loads(self.rfile.read(max(n, 0))
+                                          or b"{}")
+                        text = body["text"]
+                        if not isinstance(text, str):
+                            raise ValueError("text must be a string")
+                    except (ValueError, KeyError, TypeError) as e:
+                        self._json(400, {"error": str(e)})
+                        return
+                    from visionsearch_spark.operators.percolate import (
+                        percolate_one,
+                    )
+
+                    t0 = time.perf_counter()
+                    qids = percolate_one(app.percolate_queries, text)
+                    self._json(200, {
+                        "matched_query_ids": qids,
+                        "took_ms": round(
+                            (time.perf_counter() - t0) * 1e3, 3),
                     })
                     return
                 if u.path != "/upload":
