@@ -549,6 +549,25 @@ def _dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(docs, length=DUP_SPAN_L).orderBy("doc_id")
 
 
+def _search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation alongside search (query/facets
+    .facet_cardinality, r6): exact distinct value counts per facet over
+    boolean-query matches (the value-checkable form of ES's HLL++)."""
+    from visionsearch_spark.query.facets import facet_cardinality
+
+    any_of, facets = FACET_QUERY
+    store = get_documents_index(spark, sf_dir)
+    docmap = spark.read.parquet(store.docmap_path).select("docid", "conv_id")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", *facets)
+    meta = docmap.select(
+        "docid", doc_id_col().alias("doc_id")
+    ).join(docs, "doc_id")
+    return facet_cardinality(spark, store, meta, facets,
+                             any_of=any_of).orderBy("facet")
+
+
 SIGTERMS_QUERY = (["stream", "window"], 20, 3)  # (any_of, top_n, min_fg_df)
 
 # (any_of membership, numeric column, percentiles)
@@ -1299,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dup_spans": _dup_spans,
             "dup_span_stats": _dup_span_stats,
             "bm25_phrase_slop": _bm25_phrase_slop,
+            "search_cardinality": _search_cardinality,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1395,7 +1415,7 @@ _ROUND_CHANGED = [
     "bm25_phrase", "bm25_proximity", "percolate_queries",
     "percolate_advanced", "search_range_facets", "date_histogram_events",
     "significant_terms", "search_numeric_stats", "dup_spans",
-    "dup_span_stats", "bm25_phrase_slop",
+    "dup_span_stats", "bm25_phrase_slop", "search_cardinality",
 ]
 
 
@@ -2684,6 +2704,12 @@ SELECT t.doc_id, len(t.tk)::BIGINT AS dl,
 FROM toksl t LEFT JOIN cov c USING(doc_id)
 ORDER BY doc_id
 """
+    sql["search_cardinality"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS facet, "
+        f"count(DISTINCT {c})::BIGINT AS n_values FROM documents "
+        f"WHERE list_has_any({toks}, {_fc_any_sql})"
+        for c in _fc_facets
+    ) + " ORDER BY facet"
     _st_any, _st_topn, _st_minfg = SIGTERMS_QUERY
     _st_any_sql = "[" + ", ".join(f"'{t}'" for t in _st_any) + "]"
     _st_excl = ", ".join(f"'{t}'" for t in sorted(_st_any))

@@ -304,3 +304,24 @@ def test_numeric_stats_validates(spark, facet_store, dl_meta):
     with pytest.raises(ValueError, match="percentiles"):
         numeric_stats(spark, facet_store, dl_meta, ["dl"],
                       percentiles=[1.5], any_of=["the"])
+
+
+def test_facet_cardinality_exact(spark, facet_store, meta_df, doc_rows):
+    from visionsearch_spark.query.facets import facet_cardinality
+
+    match = set(_matches(doc_rows, any_of=["join", "scan"]))
+    want = {
+        c: len({v for d, (_t, role, tool) in doc_rows.items()
+                if d in match
+                for v in [role if c == "role" else tool]
+                if v is not None})
+        for c in ("role", "tool")
+    }
+    got = {r.facet: r.n_values for r in facet_cardinality(
+        spark, facet_store, meta_df, ["role", "tool"],
+        any_of=["join", "scan"]
+    ).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="at least one facet"):
+        facet_cardinality(spark, facet_store, meta_df, [],
+                          any_of=["the"])

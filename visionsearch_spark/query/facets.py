@@ -170,6 +170,47 @@ def range_facets(
     )
 
 
+def facet_cardinality(
+    spark: SparkSession,
+    store: IndexStore,
+    meta: DataFrame,
+    facets: list[str],
+    all_of: list[str] | None = None,
+    any_of: list[str] | None = None,
+    none_of: list[str] | None = None,
+) -> DataFrame:
+    """ES `cardinality` aggregation alongside search: EXACT distinct
+    value count per facet column over the matching docs (NULLs excluded,
+    the SQL COUNT DISTINCT rule; ES uses HLL++ — at 100 TB swap in
+    approx_count_distinct, the exact form is kept because it is
+    value-checkable). Same one-shuffle stacked-pairs shape as
+    facet_counts; countDistinct adds the standard Spark expand-rewrite,
+    still a single exchange of per-value partials."""
+    if not facets:
+        raise ValueError("facet_cardinality requires at least one facet")
+    missing = [c for c in facets if c not in meta.columns]
+    if missing:
+        raise ValueError(f"meta is missing facet columns: {missing}")
+    allow = matching_docids(
+        spark, store, all_of=all_of, any_of=any_of, none_of=none_of
+    )
+    matched = meta.select("docid", *facets).join(allow, "docid")
+    stacked = matched.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in facets
+            ])
+        ).alias("fv")
+    ).select("fv.facet", "fv.value")
+    return stacked.groupBy("facet").agg(
+        F.countDistinct("value").cast("long").alias("n_values")
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     store: IndexStore,
