@@ -568,6 +568,20 @@ def _search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                              any_of=any_of).orderBy("facet")
 
 
+TERM_VECTOR_DOC = 7
+
+
+def _term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors (query/termvectors.term_vector_frame, r6): one
+    document's (term, tf, 0-based analyzed positions, corpus df) rows —
+    the same position coordinate pos_bin stores, so this surface
+    spot-checks positional payloads."""
+    from visionsearch_spark.query.termvectors import term_vector_frame
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return term_vector_frame(docs, TERM_VECTOR_DOC).orderBy("term")
+
+
 SIGTERMS_QUERY = (["stream", "window"], 20, 3)  # (any_of, top_n, min_fg_df)
 
 # (any_of membership, numeric column, percentiles)
@@ -1319,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dup_span_stats": _dup_span_stats,
             "bm25_phrase_slop": _bm25_phrase_slop,
             "search_cardinality": _search_cardinality,
+            "term_vectors": _term_vectors,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1416,6 +1431,7 @@ _ROUND_CHANGED = [
     "percolate_advanced", "search_range_facets", "date_histogram_events",
     "significant_terms", "search_numeric_stats", "dup_spans",
     "dup_span_stats", "bm25_phrase_slop", "search_cardinality",
+    "term_vectors",
 ]
 
 
@@ -2710,6 +2726,26 @@ ORDER BY doc_id
         f"WHERE list_has_any({toks}, {_fc_any_sql})"
         for c in _fc_facets
     ) + " ORDER BY facet"
+    sql["term_vectors"] = f"""
+WITH t AS (SELECT {toks} AS tk FROM documents
+           WHERE doc_id = {TERM_VECTOR_DOC}),
+occ AS (
+  SELECT unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term
+  FROM t
+),
+tv AS (
+  SELECT term, count(*)::BIGINT AS tf,
+         array_to_string(list_sort(list(pos - 1)), ' ') AS positions
+  FROM occ GROUP BY term
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM (
+    SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+  ) GROUP BY term
+)
+SELECT tv.term, tv.tf, tv.positions, dfreq.df
+FROM tv JOIN dfreq USING(term) ORDER BY term
+"""
     _st_any, _st_topn, _st_minfg = SIGTERMS_QUERY
     _st_any_sql = "[" + ", ".join(f"'{t}'" for t in _st_any) + "]"
     _st_excl = ", ".join(f"'{t}'" for t in sorted(_st_any))

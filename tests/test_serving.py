@@ -190,3 +190,85 @@ def test_sharded_router_representative_docid_resolve(
 
     # and the full result sets stay identical at larger k
     assert router.search_docs("apple", k=4) == single.search_docs("apple", k=4)
+
+
+# ---------------------------------------------------------------------------
+# term vectors + more-like-this at the serving tier (r6)
+# ---------------------------------------------------------------------------
+
+def test_term_vector_matches_analyzer(spark, serving_store):
+    from visionsearch_spark.analyzer import tokenize
+    from visionsearch_spark.query.serving import LocalSearcher
+
+    import pyarrow.parquet as pq
+
+    s = LocalSearcher(serving_store)
+    st = pq.read_table(serving_store.staged_path,
+                       columns=["docid", "conv_id", "turn_idx", "text"]
+                       ).to_pandas()
+    row = st.iloc[5]
+    tv = s.term_vector(str(row.conv_id), int(row.turn_idx))
+    toks = tokenize(row.text)
+    want: dict = {}
+    for i, t in enumerate(toks):
+        want.setdefault(t, []).append(i)
+    assert [(t, len(ps), ps) for t, tf, ps, _df in tv] \
+        == [(t, len(ps), ps) for t, ps in sorted(want.items())]
+    for t, _tf, _ps, df in tv:
+        assert df == s.df(t) and df >= 1
+    assert s.term_vector("conv-nope", 1) == []
+
+
+def test_term_vector_positions_match_pos_bin(spark, transcripts,
+                                             tmp_path_factory):
+    """The serving surface and the positional payloads use the SAME
+    coordinate: decode one term's pos_bin and compare."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from visionsearch_spark.index.codec import decode_positions, decode_varint
+    from visionsearch_spark.index.spimi import build_index
+    from visionsearch_spark.query.serving import LocalSearcher
+
+    root = str(tmp_path_factory.mktemp("tvpos"))
+    pstore = build_index(transcripts, root, n_partitions=8,
+                         positions=True)
+    s = LocalSearcher(pstore)
+    tv = s.term_vector(str(s._conv[0]), int(s._turn[0]))
+    assert tv
+    term, _tf, want_ps, _df = tv[0]
+    seg = pads.dataset(
+        [pads.dataset(p) for p in pstore.segment_paths()]
+    ).to_table(columns=["term", "n", "docids_bin", "tfs_bin", "pos_bin"],
+               filter=__import__("pyarrow").compute.field("term") == term)
+    got = None
+    from visionsearch_spark.index.codec import decode_docids
+
+    for i in range(seg.num_rows):
+        d = decode_docids(seg.column("docids_bin")[i].as_py(),
+                          seg.column("n")[i].as_py())
+        if 0 in d:
+            tf = decode_varint(seg.column("tfs_bin")[i].as_py(),
+                               seg.column("n")[i].as_py()).astype(np.int64)
+            ps = decode_positions(seg.column("pos_bin")[i].as_py(), tf)
+            starts = np.concatenate(([0], np.cumsum(tf)))
+            j = int(np.flatnonzero(d == 0)[0])
+            got = ps[starts[j]:starts[j + 1]].tolist()
+            break
+    assert got == want_ps
+
+
+def test_more_like_this_serving(spark, serving_store):
+    from visionsearch_spark.query.serving import LocalSearcher
+
+    s = LocalSearcher(serving_store)
+    seed_conv, seed_turn = str(s._conv[10]), int(s._turn[10])
+    hits = s.more_like_this(seed_conv, seed_turn, k=5)
+    assert hits
+    assert all(not (c == seed_conv and t == seed_turn)
+               for _d, c, t, _s in hits)
+    assert len(hits) <= 5
+    # scores descend with the frozen tie-break
+    scores = [h[3] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert s.more_like_this("conv-nope", 1) == []

@@ -324,6 +324,40 @@ class LocalSearcher:
 
         return did_you_mean(self.store, query, max_edits=max_edits)
 
+    def term_vector(self, conv_id: str, turn_idx: int
+                    ) -> list[tuple[str, int, list[int], int]]:
+        """ES _termvectors for one unit: [(term, tf, positions, df)],
+        staged point lookup + in-memory df — no Spark job
+        (query/termvectors.term_vector_local)."""
+        from visionsearch_spark.query.termvectors import term_vector_local
+
+        return term_vector_local(self, conv_id, turn_idx)
+
+    def more_like_this(self, conv_id: str, turn_idx: int, k: int = 5,
+                       max_query_terms: int = 10
+                       ) -> list[tuple[int, str, int, float]]:
+        """ES more_like_this served in-process: take the unit's top
+        `max_query_terms` terms by tf·idf (idf from this searcher's df —
+        rare-but-frequent-here terms characterize the doc), search them
+        as a disjunction, and drop the seed unit itself from the hits.
+        [] for an unknown key or an all-OOV unit."""
+        import math as _math
+
+        tv = self.term_vector(conv_id, turn_idx)
+        if not tv:
+            return []
+        scored = sorted(
+            ((tf * _math.log((self.n_docs + 1) / df), t)
+             for t, tf, _ps, df in tv if df > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:max_query_terms]
+        if not scored:
+            return []
+        query = " ".join(sorted(t for _s, t in scored))
+        hits = self.search(query, k=k + 1)
+        return [h for h in hits
+                if not (h[1] == conv_id and h[2] == turn_idx)][:k]
+
     def search_highlighted(self, query: str, k: int = 5,
                            threshold: float = 0.0,
                            term_weights: dict[str, float] | None = None,
