@@ -570,6 +570,27 @@ def _search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TERM_VECTOR_DOC = 7
 
+FUNCTION_SCORE_QUERY = ("stream window", 60, 20)  # (text, depth, k)
+
+
+def _function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score (query/rescore.function_score_topk, r6):
+    BM25 top-depth rescored by a field-value factor — ln(1 + n_chars),
+    the length prior — then re-cut to top-k on the rounded combined
+    score with the frozen tie-break."""
+    from visionsearch_spark.query.rescore import function_score_topk
+
+    qtext, depth, k = FUNCTION_SCORE_QUERY
+    store = get_documents_index(spark, sf_dir)
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    factors = docs.select(
+        F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("factor"),
+    )
+    res = function_score_topk(spark, store, qtext, factors, k=k,
+                              depth=depth)
+    return res.select(doc_id_col().alias("doc_id"), "fscore", "rank")
+
 
 def _term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors (query/termvectors.term_vector_frame, r6): one
@@ -1334,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_phrase_slop": _bm25_phrase_slop,
             "search_cardinality": _search_cardinality,
             "term_vectors": _term_vectors,
+            "function_score": _function_score,
             "bm25_unit_topk": _bm25_unit_topk,
             "bm25_fielded": _bm25_fielded,
             "token_count": _token_count,
@@ -1431,7 +1453,7 @@ _ROUND_CHANGED = [
     "percolate_advanced", "search_range_facets", "date_histogram_events",
     "significant_terms", "search_numeric_stats", "dup_spans",
     "dup_span_stats", "bm25_phrase_slop", "search_cardinality",
-    "term_vectors",
+    "term_vectors", "function_score",
 ]
 
 
@@ -2726,6 +2748,46 @@ ORDER BY doc_id
         f"WHERE list_has_any({toks}, {_fc_any_sql})"
         for c in _fc_facets
     ) + " ORDER BY facet"
+    _fs_text, _fs_depth, _fs_k = FUNCTION_SCORE_QUERY
+    _fs_terms = ", ".join(
+        f"('{t}')" for t in sorted(set(tokenize(_fs_text))))
+    sql["function_score"] = f"""
+WITH q(term) AS (VALUES {_fs_terms}),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(len({toks})) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING(term) JOIN df USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+base AS (
+  SELECT doc_id, score FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_fs_depth}
+),
+resc AS (
+  SELECT b.doc_id,
+         round(b.score * ln(1.0 + d.n_chars), 6) AS fscore
+  FROM base b JOIN documents d USING(doc_id)
+)
+SELECT doc_id, fscore,
+       row_number() OVER (ORDER BY fscore DESC, doc_id ASC)::INT AS rank
+FROM resc ORDER BY fscore DESC, doc_id ASC LIMIT {_fs_k}
+"""
     sql["term_vectors"] = f"""
 WITH t AS (SELECT {toks} AS tk FROM documents
            WHERE doc_id = {TERM_VECTOR_DOC}),
