@@ -19,21 +19,22 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """uint64 array -> LEB128 bytes."""
+# ceil(bit_length/7) boundaries: value v needs 1 + (number of these <= v)
+# LEB128 bytes — a searchsorted replaces the per-bit shift loop
+_VARINT_POW = np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))
+
+
+def varint_stream(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 array -> (LEB128 byte stream as uint8 array, per-value byte
+    counts). ONE vectorized pass over the whole array; because LEB128
+    values are self-delimiting, any slice of the stream at value
+    boundaries (cumsum of the counts) is byte-identical to encode_varint
+    of that value slice — the per-block encoder the batch builders slice
+    from."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    nbytes = np.searchsorted(_VARINT_POW, v, side="right").astype(np.int64) + 1
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     # start offset of each value's byte run
@@ -47,7 +48,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         more = (nbytes[alive] - 1) > pos
         out[idx] = chunk | np.where(more, _CONT, np.uint8(0))
         tmp[alive] >>= np.uint64(7)
-    return out.tobytes()
+    return out, nbytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 bytes."""
+    return varint_stream(values)[0].tobytes()
 
 
 def decode_varint(buf: bytes, n: int) -> np.ndarray:

@@ -93,49 +93,174 @@ def _tf_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
-def _encode_term_blocks(term: str, docids: np.ndarray, tfs: np.ndarray,
-                        dls: np.ndarray, shard_range: int,
-                        pos: np.ndarray | None = None) -> list[tuple]:
-    """Cut one term's (sorted-by-docid) postings into blocks of <=BLOCK_SIZE
-    that never cross a docid-shard boundary; encode each block. Pruning
-    metadata is (max_tf, min_dl) — avgdl-independent, so blocks stay valid
-    across appends that shift corpus stats (the query side derives the
-    tf-weight upper bound under the CURRENT avgdl). `pos` (positional
-    stores): flat token positions aligned with np.repeat(docids, tfs)."""
-    from visionsearch_spark.index.codec import (
-        encode_docids,
-        encode_positions,
-        encode_varint,
+# one Arrow binary column's offsets are int32: chunk the output so every
+# chunk's payload stream stays below this (2 GiB minus slack)
+_CHUNK_BYTE_LIMIT = (1 << 31) - (1 << 16)
+
+
+def _binary_col(stream: np.ndarray, boffs: np.ndarray,
+                valid: np.ndarray | None = None) -> pa.Array:
+    """Zero-copy Arrow binary column over a shared byte stream: per-block
+    values are SLICES of `stream` at byte offsets `boffs` (len n_blocks+1)
+    — the offsets array IS the Arrow offsets buffer, so no per-block bytes
+    objects are ever materialized (guide §4.2: re-slice, don't copy)."""
+    n = boffs.size - 1
+    base = int(boffs[0])
+    off32 = (boffs - base).astype(np.int32)
+    data = np.ascontiguousarray(stream[base:int(boffs[-1])])
+    validity = None
+    nulls = 0
+    if valid is not None and not valid.all():
+        validity = pa.py_buffer(
+            np.packbits(valid, bitorder="little").tobytes()
+        )
+        nulls = int((~valid).sum())
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [validity, pa.py_buffer(off32), pa.py_buffer(data)],
+        null_count=nulls,
     )
 
-    rows = []
+
+def _build_block_batches(
+    terms: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
+    dls: np.ndarray, shard_range: int,
+    pos_flat: np.ndarray | None = None,
+    pos_valid: np.ndarray | None = None,
+    with_shard: bool = False,
+    term_values: np.ndarray | None = None,
+) -> tuple[list[pa.RecordBatch], dict]:
+    """Vectorized block assembly for a whole partition's postings (sorted
+    by term, docid; `pos_flat` aligned with np.repeat(docids, tfs)).
+
+    Cuts blocks of <=BLOCK_SIZE that never cross a term or docid-shard
+    boundary and encodes EVERY payload in one varint pass per column
+    (codec.varint_stream), then assembles the binary columns zero-copy
+    from byte-offset slices — byte-identical to per-block
+    encode_docids/encode_varint/encode_positions, with no per-term or
+    per-block Python loop (the r7 kernel-vectorization: the old loop
+    cost ~330 us/block in tiny-array numpy calls).
+
+    Pruning metadata stays (max_tf, min_dl) — avgdl-independent, so
+    blocks remain valid across appends that shift corpus stats.
+
+    `pos_valid`: per-posting flag, constant within each (term, shard)
+    run — blocks of invalid runs emit NULL pos_bin (the legacy-mix
+    degradation rule of the compaction path). `term_values`: when `terms`
+    holds int run keys (cheap comparisons for the compaction kernel),
+    the string looked up per output block is term_values[key]. Returns
+    (record batches, stats)."""
+    schema = _FRAGMENT_PA_SCHEMA
+    if with_shard:
+        schema = schema.append(pa.field("shard", pa.int64()))
+    n = int(docids.size)
+    if n == 0:
+        return [], {"postings": 0, "terms": 0, "n_blocks": 0, "bytes": 0}
     shards = docids // shard_range
-    # boundaries where shard changes
-    cut = np.flatnonzero(shards[1:] != shards[:-1]) + 1
-    starts = np.concatenate(([0], cut))
-    ends = np.concatenate((cut, [docids.size]))
-    occ = (np.concatenate(([0], np.cumsum(tfs)))
-           if pos is not None else None)
-    for s, e in zip(starts, ends):
-        for b0 in range(s, e, BLOCK_SIZE):
-            b1 = min(b0 + BLOCK_SIZE, e)
-            d = docids[b0:b1]
-            rows.append(
-                (
-                    term,
-                    int(d[0]),
-                    int(d[-1]),
-                    int(b1 - b0),
-                    encode_docids(d),
-                    encode_varint(tfs[b0:b1].astype(np.uint64)),
-                    encode_varint(dls[b0:b1].astype(np.uint64)),
-                    int(tfs[b0:b1].max()),
-                    int(dls[b0:b1].min()),
-                    (encode_positions(pos[occ[b0]:occ[b1]], tfs[b0:b1])
-                     if pos is not None else None),
-                )
+    segc = np.ones(n, dtype=bool)
+    segc[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    seg_starts = np.flatnonzero(segc)
+    idx_in_seg = np.arange(n, dtype=np.int64) \
+        - seg_starts[np.cumsum(segc) - 1]
+    bstarts = np.flatnonzero(idx_in_seg % BLOCK_SIZE == 0)
+    bnd = np.concatenate((bstarts, [n]))
+    bends = bnd[1:]
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    deltas[bstarts] = docids[bstarts]
+    bad = deltas <= 0
+    bad[bstarts] = False
+    if bad.any():
+        raise ValueError("docids must be strictly increasing within a block")
+
+    from visionsearch_spark.index.codec import varint_stream
+
+    d_stream, d_nb = varint_stream(deltas.astype(np.uint64))
+    t_stream, t_nb = varint_stream(tfs.astype(np.uint64))
+    l_stream, l_nb = varint_stream(dls.astype(np.uint64))
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(d_nb, out=off[1:])
+    d_boffs = off[bnd]
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(t_nb, out=off[1:])
+    t_boffs = off[bnd]
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(l_nb, out=off[1:])
+    l_boffs = off[bnd]
+
+    p_stream = p_boffs = valid_blocks = None
+    if pos_flat is not None:
+        occ = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=occ[1:])
+        p = np.ascontiguousarray(pos_flat, dtype=np.int64)
+        pdeltas = np.empty(p.size, dtype=np.int64)
+        if p.size:
+            pdeltas[0] = p[0]
+            np.subtract(p[1:], p[:-1], out=pdeltas[1:])
+            pdeltas[occ[:-1]] = p[occ[:-1]]
+        if (pdeltas < 0).any():
+            raise ValueError("positions must be ascending within each doc")
+        p_stream, p_nb = varint_stream(pdeltas.astype(np.uint64))
+        poff = np.zeros(p.size + 1, dtype=np.int64)
+        np.cumsum(p_nb, out=poff[1:])
+        p_boffs = poff[occ[bnd]]
+        if pos_valid is not None:
+            valid_blocks = pos_valid[bstarts]
+
+    n_blocks = bstarts.size
+    max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    min_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
+    min_docid = docids[bstarts]
+    max_docid = docids[bends - 1]
+    blens = (bends - bstarts).astype(np.int32)
+
+    batches: list[pa.RecordBatch] = []
+    start = 0
+    while start < n_blocks:
+        # largest end keeping every stream's chunk under the int32 cap
+        end = n_blocks
+        for boffs in (d_boffs, t_boffs, l_boffs, p_boffs):
+            if boffs is None:
+                continue
+            lim = int(np.searchsorted(
+                boffs, boffs[start] + _CHUNK_BYTE_LIMIT, side="right")) - 1
+            end = min(end, max(lim, start + 1))
+        sl = slice(start, end)
+        sl1 = slice(start, end + 1)
+        if p_boffs is None:
+            pos_col = pa.nulls(end - start, pa.binary())
+        else:
+            pos_col = _binary_col(
+                p_stream, p_boffs[sl1],
+                None if valid_blocks is None else valid_blocks[sl],
             )
-    return rows
+        blk_terms = (term_values[terms[bstarts[sl]]]
+                     if term_values is not None else terms[bstarts[sl]])
+        cols = [
+            pa.array(blk_terms, type=pa.string()),
+            pa.array(min_docid[sl], type=pa.int64()),
+            pa.array(max_docid[sl], type=pa.int64()),
+            pa.array(blens[sl], type=pa.int32()),
+            _binary_col(d_stream, d_boffs[sl1]),
+            _binary_col(t_stream, t_boffs[sl1]),
+            _binary_col(l_stream, l_boffs[sl1]),
+            pa.array(max_tf[sl], type=pa.int32()),
+            pa.array(min_dl[sl], type=pa.int32()),
+            pos_col,
+        ]
+        if with_shard:
+            cols.append(pa.array(shards[bstarts[sl]], type=pa.int64()))
+        batches.append(pa.RecordBatch.from_arrays(cols, schema=schema))
+        start = end
+    stats = {
+        "postings": n,
+        "terms": int((terms[1:] != terms[:-1]).sum()) + 1,
+        "n_blocks": int(n_blocks),
+        "bytes": int(d_boffs[-1] + t_boffs[-1] + l_boffs[-1]),
+    }
+    return batches, stats
 
 
 def _make_spimi_fn(store_root: str, shard_range: int,
@@ -147,8 +272,12 @@ def _make_spimi_fn(store_root: str, shard_range: int,
     store flag rather than always-on (meta['positions'])."""
 
     def spimi(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         store = IndexStore(store_root)
-        acc: list[pd.DataFrame] = []
+        # occurrence-stream accumulator per pid:
+        # (tokens pa.Array, docid_rep, dl_rep[, pos]) per batch slice
+        acc: list[tuple] = []
         cur_pid: int | None = None
 
         def flush(pid: int) -> dict:
@@ -164,62 +293,68 @@ def _make_spimi_fn(store_root: str, shard_range: int,
                         "postings_written": 0, "terms_merged": 0,
                         "bytes_compressed": 0, "lineage": "{}",
                         "ts": str(time.time())}
+            # ---- vectorized aggregation over the pid's occurrence stream:
+            # dictionary-encode tokens ONCE, rank codes in lexicographic
+            # vocab order (ranks sort exactly like the strings), lexsort
+            # int keys, detect posting runs — replaces the per-batch
+            # pandas explode+groupby and the object-dtype flush sort
+            # (identical postings, ~5x less kernel CPU; r7)
+            if acc:
+                tok_all = pa.concat_arrays([a[0] for a in acc])
+                docid_all = np.concatenate([a[1] for a in acc])
+                dl_all = np.concatenate([a[2] for a in acc])
+                pos_all = (np.concatenate([a[3] for a in acc])
+                           if positions else None)
+            else:
+                tok_all = pa.array([], type=pa.string())
+                docid_all = np.zeros(0, dtype=np.int64)
+                dl_all = np.zeros(0, dtype=np.int64)
+                pos_all = np.zeros(0, dtype=np.int64) if positions else None
+            enc = pc.dictionary_encode(tok_all)
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(vocab) if vocab.size else \
+                np.zeros(0, dtype=np.int64)
+            rank = np.empty(vocab.size, dtype=np.int64)
+            rank[order] = np.arange(vocab.size, dtype=np.int64)
+            vocab_sorted = vocab[order]
+            r = rank[codes]
             pos_flat: np.ndarray | None = None
             if positions:
-                pdf = pd.concat(acc, ignore_index=True) if acc else \
-                    pd.DataFrame(columns=["term", "docid", "dl", "pos"])
-                pdf = pdf.sort_values(["term", "docid", "pos"],
-                                      kind="mergesort")
-                t_o = pdf["term"].to_numpy()
-                d_o = pdf["docid"].to_numpy(dtype=np.int64)
-                pos_flat = pdf["pos"].to_numpy(dtype=np.int64)
-                newp = np.ones(len(pdf), dtype=bool)
-                if len(pdf) > 1:
-                    newp[1:] = (t_o[1:] != t_o[:-1]) | (d_o[1:] != d_o[:-1])
-                pstarts = np.flatnonzero(newp)
-                terms = t_o[pstarts]
-                docids = d_o[pstarts]
-                dls = pdf["dl"].to_numpy(dtype=np.int64)[pstarts]
-                tfs = np.diff(np.concatenate((pstarts, [len(pdf)])))
+                perm = np.lexsort((pos_all, docid_all, r))
+                pos_flat = pos_all[perm]
             else:
-                pdf = pd.concat(acc, ignore_index=True) if acc else \
-                    pd.DataFrame(columns=["term", "docid", "tf", "dl"])
-                pdf = pdf.sort_values(["term", "docid"], kind="mergesort")
-                terms = pdf["term"].to_numpy()
-                docids = pdf["docid"].to_numpy(dtype=np.int64)
-                tfs = pdf["tf"].to_numpy(dtype=np.int64)
-                dls = pdf["dl"].to_numpy(dtype=np.int64)
-            bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1 if terms.size else np.array([], dtype=np.int64)
-            starts = np.concatenate(([0], bounds)) if terms.size else np.array([], dtype=np.int64)
-            ends = np.concatenate((bounds, [terms.size])) if terms.size else np.array([], dtype=np.int64)
-            occ_of = (np.concatenate(([0], np.cumsum(tfs)))
-                      if positions else None)
-            rows: list[tuple] = []
-            for s, e in zip(starts, ends):
-                rows.extend(_encode_term_blocks(
-                    str(terms[s]), docids[s:e], tfs[s:e], dls[s:e],
-                    shard_range,
-                    pos=(pos_flat[occ_of[s]:occ_of[e]]
-                         if positions else None)))
-            tbl = pa.Table.from_arrays(
-                [pa.array([r[i] for r in rows], type=f.type)
-                 for i, f in enumerate(_FRAGMENT_PA_SCHEMA)],
-                schema=_FRAGMENT_PA_SCHEMA,
+                perm = np.lexsort((docid_all, r))
+            r_s = r[perm]
+            d_s = docid_all[perm]
+            newp = np.ones(r_s.size, dtype=bool)
+            if r_s.size > 1:
+                newp[1:] = (r_s[1:] != r_s[:-1]) | (d_s[1:] != d_s[:-1])
+            pstarts = np.flatnonzero(newp)
+            terms = r_s[pstarts]  # int ranks; strings via vocab_sorted
+            docids = d_s[pstarts]
+            dls = dl_all[perm][pstarts]
+            tfs = np.diff(np.concatenate((pstarts, [r_s.size])))
+            batches_out, bstats = _build_block_batches(
+                terms, docids, tfs, dls, shard_range,
+                pos_flat=pos_flat if positions else None,
+                term_values=vocab_sorted,
             )
+            tbl = (pa.Table.from_batches(batches_out)
+                   if batches_out else _FRAGMENT_PA_SCHEMA.empty_table())
             pq.write_table(tbl, frag_tmp, compression="zstd")
             os.replace(frag_tmp, store.fragment_path(pid))
-            n_bytes = sum(len(r[4]) + len(r[5]) + len(r[6]) for r in rows)
             manifest = {
                 "partition_id": pid,
                 "status": "done",
                 "postings_written": int(tfs.size),
-                "terms_merged": int(starts.size),
-                "bytes_compressed": int(n_bytes),
+                "terms_merged": int(bstats["terms"]),
+                "bytes_compressed": int(bstats["bytes"]),
                 "lineage": json.dumps({
                     "fragment": os.path.basename(store.fragment_path(pid)),
                     "docid_min": int(docids.min()) if docids.size else None,
                     "docid_max": int(docids.max()) if docids.size else None,
-                    "n_blocks": len(rows),
+                    "n_blocks": int(bstats["n_blocks"]),
                 }),
                 "ts": str(time.time()),
             }
@@ -230,35 +365,59 @@ def _make_spimi_fn(store_root: str, shard_range: int,
 
         out: list[dict] = []
         for batch in batches:
-            pdf = batch.to_pandas()
-            for pid, grp in pdf.groupby("pid", sort=True):
-                pid = int(pid)
+            pids = batch.column("pid").to_numpy()
+            if pids.size == 0:
+                continue
+            # pid-grouped slices (input arrives pid-sorted from the
+            # repartition+sort; stable-sort defensively if not)
+            if pids.size > 1 and (np.diff(pids) < 0).any():
+                o = np.argsort(pids, kind="stable")
+                batch = batch.take(pa.array(o))
+                pids = pids[o]
+            gstarts = np.flatnonzero(
+                np.concatenate(([True], pids[1:] != pids[:-1])))
+            gends = np.concatenate((gstarts[1:], [pids.size]))
+            docid_col = batch.column("docid").to_numpy().astype(np.int64)
+            dl_col = batch.column("dl").to_numpy().astype(np.int64)
+            text_col = batch.column("text")
+            for gs, ge in zip(gstarts, gends):
+                pid = int(pids[gs])
                 if cur_pid is not None and pid != cur_pid:
                     out.append(flush(cur_pid))
                     acc.clear()
                 cur_pid = pid
-                # re-tokenize from staged text (pandas str ops are C-level
-                # and scale with cores, unlike the staged write they
-                # replace); the frozen spec: lower -> split [^0-9a-z]+ ->
-                # drop empties — identical to analyzer.tokenize
-                toks = grp["text"].str.lower().str.split(TOKEN_SEP_RE)
-                ex = pd.DataFrame(
-                    {"docid": grp["docid"], "dl": grp["dl"], "term": toks}
-                ).explode("term")
-                ex = ex[ex["term"].notna() & (ex["term"] != "")]
+                # re-tokenize from staged text with the frozen spec:
+                # PYTHON str.lower (full Unicode case mapping —
+                # pc.utf8_lower's simple mapping diverges on e.g.
+                # U+0130), then RE2 split + list flatten in Arrow C++
+                # (split parity on lowered input is fuzz-pinned by
+                # test_analyzer); empties dropped — identical tokens to
+                # analyzer.tokenize
+                texts = text_col.slice(gs, int(ge - gs)).to_pylist()
+                low = pa.array(
+                    [t.lower() if t is not None else None for t in texts],
+                    type=pa.string())
+                toks = pc.split_pattern_regex(low, TOKEN_SEP_RE.pattern)
+                flat = pc.list_flatten(toks)
+                parent = pc.list_parent_indices(toks).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                keep = pc.not_equal(flat, "")
+                flat = flat.filter(keep)
+                parent = parent[keep.to_numpy(zero_copy_only=False)]
+                docid_rep = docid_col[gs:ge][parent]
+                dl_rep = dl_col[gs:ge][parent]
                 if positions:
                     # token index within the ANALYZED list (empties
                     # dropped first) — the coordinate the phrase verify
                     # intersects on, identical to analyzer.tokenize order
-                    ex = ex.assign(pos=ex.groupby("docid").cumcount())
-                    acc.append(ex[["term", "docid", "dl", "pos"]])
+                    runs = np.flatnonzero(np.concatenate(
+                        ([True], parent[1:] != parent[:-1])))
+                    lens = np.diff(np.concatenate((runs, [parent.size])))
+                    pos = np.arange(parent.size, dtype=np.int64) \
+                        - np.repeat(runs, lens)
+                    acc.append((flat, docid_rep, dl_rep, pos))
                 else:
-                    counts = (
-                        ex.groupby(["term", "docid", "dl"], sort=False)
-                        .size()
-                        .reset_index(name="tf")
-                    )
-                    acc.append(counts[["term", "docid", "tf", "dl"]])
+                    acc.append((flat, docid_rep, dl_rep))
         if cur_pid is not None:
             out.append(flush(cur_pid))
         if out:
@@ -384,7 +543,8 @@ def build_index(
     )
     mark("term_stats")
     shard_range = int(meta["shard_range"])
-    compacted = _compact_segments(frags, shard_range)
+    compacted = _compact_segments(frags, shard_range,
+                                  n_tasks=int(meta["n_partitions"]))
     write_segments(compacted, int(meta["n_partitions"]),
                    store.epoch_path("segments", next_ep))
     mark("compact_write")
@@ -620,7 +780,8 @@ def compact_store(spark: SparkSession, root: str,
     frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
         "overwrite"
     ).parquet(store.epoch_path("term_stats", next_ep))
-    compacted = _compact_segments(frags, int(meta["shard_range"]))
+    compacted = _compact_segments(frags, int(meta["shard_range"]),
+                                  n_tasks=n_partitions)
     write_segments(compacted, n_partitions,
                    store.epoch_path("segments", next_ep))
     prev_live = [os.path.basename(p) for p in store.segment_paths()]         + [os.path.basename(p) for p in store.term_stats_paths()]
@@ -648,35 +809,35 @@ def compact_store(spark: SparkSession, root: str,
 
 def write_segments(compacted, n_partitions: int, path: str,
                    blooms: bool = True) -> None:
-    """THE segment write: shard-hash partitioned, key-sorted, and pinned
-    to one file per partition. ONE FILE PER PARTITION is a correctness
-    invariant, not a perf preference — the query fast path assigns whole
-    FILES to tasks and relies on each file holding complete shards
-    (PLANS.md §17); a deployment-level maxRecordsPerFile would silently
-    split a shard's term blocks across files and turn per-task sums
-    partial. One shared implementation (build, compact, append) so the
-    invariant cannot drift (the spimi_pending rule, CLAUDE.md r3).
+    """THE segment write: one file per partition of an input that
+    `_compact_segments` already range-partitioned by shard and emitted in
+    (term, shard, min_docid) order. ONE FILE PER PARTITION is a
+    correctness invariant, not a perf preference — the query fast path
+    assigns whole FILES to tasks and relies on each file holding complete
+    shards (PLANS.md §17); a deployment-level maxRecordsPerFile would
+    silently split a shard's term blocks across files and turn per-task
+    sums partial. One shared implementation (build, compact, append) so
+    the invariant cannot drift (the spimi_pending rule, CLAUDE.md r3).
 
-    WITHIN each file rows sort TERM-FIRST with bounded row groups (8 MB):
-    row-group statistics on the term column then cover narrow term
-    ranges, so a query's term-IN filter PRUNES row groups instead of
-    merely post-filtering rows — shard-first sorting made every row
-    group span the whole term alphabet and pruning a no-op. File
-    completeness (all of a shard's rows in one file) comes from the
-    partitioning alone; the in-file order is free to serve the read
-    path. Trade-off: LocalSearcher(shards=...) per-shard loads scan more
-    row groups — a once-per-process load, vs pruning on every query.
-
-    RANGE-partitioned by shard, not hash: a RangePartitioner keeps equal
-    keys together (shard-complete files hold), fills EVERY partition
-    (hashing n shard keys into n buckets left ~1/e of the files empty —
-    empty files capped the file-aligned path's parallelism), and
-    balances row counts via sampling. Range boundaries re-sample per
-    job, but this is a single write action (the CLAUDE.md
-    repartitionByRange gotcha concerns branching two actions)."""
+    Partitioning/order contract (established by _compact_segments, which
+    MUST be this function's producer — r7 fused the old second
+    range-exchange + re-sort into that one upstream exchange):
+      * RANGE-partitioned by shard, not hash: equal keys stay together
+        (shard-complete files hold), every partition fills (hashing n
+        shard keys into n buckets left ~1/e of the files empty), row
+        counts balance via sampling. Range boundaries re-sample per job,
+        but this is a single write action (the CLAUDE.md
+        repartitionByRange gotcha concerns branching two actions).
+      * WITHIN each file rows sort TERM-FIRST with bounded row groups
+        (8 MB): row-group statistics on the term column then cover
+        narrow term ranges, so a query's term-IN filter PRUNES row
+        groups instead of merely post-filtering rows. File completeness
+        comes from the partitioning alone; the in-file order serves the
+        read path. Trade-off: LocalSearcher(shards=...) per-shard loads
+        scan more row groups — a once-per-process load, vs pruning on
+        every query."""
     (
-        compacted.repartitionByRange(n_partitions, "shard")
-        .sortWithinPartitions("term", "shard", "min_docid")
+        compacted
         .write.option("maxRecordsPerFile", 0)
         .option("parquet.block.size", 8 * 1024 * 1024)
         .mode("overwrite")
@@ -703,33 +864,23 @@ def _compact_segments(frags: DataFrame, shard_range: int,
     concat-in-min_docid-order + re-chunk to BLOCK_SIZE (a metadata-level
     merge, never a posting-level merge sort).
 
-    Implemented as mapInArrow over hash(term, shard)-partitioned,
-    key-sorted rows: groups are contiguous runs, so there is no per-group
-    scheduling/pandas overhead (applyInPandas costs ~3 ms per group — ruinous
-    for vocab × shards tiny groups). Run boundaries are detected with one
-    vectorized pass (no per-row Python).
+    Partitioned by RANGE of shard — the SAME partitioning the segment
+    write needs — and sorted (term, shard, min_docid), so the kernel's
+    output leaves each partition already in final file order and
+    merge_segments can write it with NO second exchange (r7: the old
+    chain was hash(term, shard) exchange -> kernel -> range(shard)
+    exchange -> re-sort -> write; one full shuffle+sort of every block
+    existed only to undo the other's partitioning).
 
-    Block metadata (max_tf, min_dl) is avgdl-independent, so single-block
-    runs — the Zipf tail of rare terms — ALWAYS pass through with zero
-    decode/encode work (fresh builds and appends alike); only multi-block
-    runs (terms present in several build partitions) hit the merge path.
-    """
-    from visionsearch_spark.index.codec import (
-        decode_docids,
-        decode_varint,
-        encode_docids,
-        encode_varint,
-    )
+    The kernel is fully vectorized (r7): ALL blocks of the partition are
+    varint-decoded in one pass each (LEB128 streams concatenate), merged
+    runs are re-cut and re-encoded by the same batch builder the SPIMI
+    flush uses — byte-identical output to the old per-run loop, with no
+    per-run or per-block Python. A run with any positionless block
+    degrades the whole run's pos_bin to NULL (mixed legacy data only —
+    flag-built stores are uniform)."""
+    from visionsearch_spark.index.codec import decode_positions, decode_varint
 
-    out_fields = [
-        ("term", pa.string()), ("min_docid", pa.int64()),
-        ("max_docid", pa.int64()), ("n", pa.int32()),
-        ("docids_bin", pa.binary()), ("tfs_bin", pa.binary()),
-        ("dls_bin", pa.binary()), ("max_tf", pa.int32()),
-        ("min_dl", pa.int32()), ("pos_bin", pa.binary()),
-        ("shard", pa.int64()),
-    ]
-    out_pa_schema = pa.schema(out_fields)
     in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
                "tfs_bin", "dls_bin", "max_tf", "min_dl", "pos_bin",
                "shard"]
@@ -739,82 +890,59 @@ def _compact_segments(frags: DataFrame, shard_range: int,
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)[in_cols]
-        terms = pdf["term"].to_numpy()
-        shards = pdf["shard"].to_numpy()
-        newrun = np.ones(len(pdf), dtype=bool)
-        if len(pdf) > 1:
-            newrun[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
-        starts = np.flatnonzero(newrun)
-        ends = np.concatenate((starts[1:], [len(pdf)]))
-        singleton = (ends - starts) == 1
-        passthrough = pdf.iloc[starts[singleton]]
-        work = zip(starts[~singleton], ends[~singleton])
+        if not len(pdf):
+            return
+        terms_b = pdf["term"].to_numpy()
+        shards_b = pdf["shard"].to_numpy(dtype=np.int64)
+        ns = pdf["n"].to_numpy(dtype=np.int64)  # always >= 1
+        total = int(ns.sum())
+        vbnd = np.zeros(ns.size + 1, dtype=np.int64)
+        np.cumsum(ns, out=vbnd[1:])
+        vstarts = vbnd[:-1]
+        # one decode per payload column for the WHOLE partition
+        d_deltas = decode_varint(
+            b"".join(pdf["docids_bin"]), total).astype(np.int64)
+        c = np.cumsum(d_deltas)
+        base = c[vstarts] - d_deltas[vstarts]
+        docids = c - np.repeat(base, ns)  # per-block absolute restored
+        tfs = decode_varint(b"".join(pdf["tfs_bin"]), total).astype(np.int64)
+        dls = decode_varint(b"".join(pdf["dls_bin"]), total).astype(np.int64)
+        # (term, shard) runs -> int keys; builder cuts on key+shard change
+        runc = np.ones(ns.size, dtype=bool)
+        if ns.size > 1:
+            runc[1:] = (terms_b[1:] != terms_b[:-1]) \
+                | (shards_b[1:] != shards_b[:-1])
+        run_id_b = np.cumsum(runc) - 1
+        run_terms = terms_b[np.flatnonzero(runc)]
+        term_keys = np.repeat(run_id_b, ns)
 
-        mins = pdf["min_docid"].to_numpy()
-        ns = pdf["n"].to_numpy()
-        dbins = pdf["docids_bin"].to_numpy()
-        tbins = pdf["tfs_bin"].to_numpy()
-        lbins = pdf["dls_bin"].to_numpy()
         pbins = pdf["pos_bin"].to_numpy()
-        rows: list[tuple] = []
-        for s, e in work:
-            idx = list(range(s, e))
-            idx.sort(key=lambda i: mins[i])
-            docids = np.concatenate([decode_docids(dbins[i], ns[i]) for i in idx])
-            per_tf = [decode_varint(tbins[i], ns[i]).astype(np.int64)
-                      for i in idx]
-            tfs = np.concatenate(per_tf)
-            dls = np.concatenate(
-                [decode_varint(lbins[i], ns[i]) for i in idx]
-            ).astype(np.int64)
-            # per-doc-reset position DELTAS concatenate and re-slice at
-            # doc boundaries without touching absolutes; a run with any
-            # positionless block degrades the whole run to NULL (can only
-            # happen on mixed legacy data — flag-built stores are uniform)
-            pos_deltas = None
-            if all(pbins[i] is not None for i in idx):
-                pos_deltas = np.concatenate(
-                    [decode_varint(pbins[i], int(per_tf[j].sum()))
-                     for j, i in enumerate(idx)]
+        null_b = np.array([p is None for p in pbins], dtype=bool)
+        pos_flat = pos_valid = None
+        if not null_b.all():
+            occ_pb = np.add.reduceat(tfs, vstarts)  # occurrences per block
+            run_null = np.logical_or.reduceat(null_b, np.flatnonzero(runc))
+            pos_flat = np.zeros(total_occ := int(tfs.sum()), dtype=np.int64)
+            nn = ~null_b
+            if nn.any():
+                decoded = decode_positions(
+                    b"".join(pbins[nn]), tfs[np.repeat(nn, ns)]
                 )
-            occ = np.concatenate(([0], np.cumsum(tfs)))
-            term, shard = terms[s], int(shards[s])
-            for b0 in range(0, docids.size, BLOCK_SIZE):
-                b1 = min(b0 + BLOCK_SIZE, docids.size)
-                rows.append(
-                    (
-                        term, int(docids[b0]), int(docids[b1 - 1]),
-                        int(b1 - b0),
-                        encode_docids(docids[b0:b1]),
-                        encode_varint(tfs[b0:b1].astype(np.uint64)),
-                        encode_varint(dls[b0:b1].astype(np.uint64)),
-                        int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
-                        (encode_varint(pos_deltas[occ[b0]:occ[b1]])
-                         if pos_deltas is not None else None),
-                        shard,
-                    )
-                )
-        tables = []
-        if len(passthrough):
-            tables.append(pa.Table.from_pandas(
-                passthrough.reset_index(drop=True), schema=out_pa_schema,
-                preserve_index=False,
-            ))
-        if rows:
-            tables.append(pa.Table.from_arrays(
-                [pa.array([r[i] for r in rows], type=f[1])
-                 for i, f in enumerate(out_fields)],
-                schema=out_pa_schema,
-            ))
-        for tbl in tables:
-            yield from tbl.to_batches(max_chunksize=65536)
+                pos_flat[np.repeat(nn, occ_pb)] = decoded
+            pos_valid = np.repeat(~run_null[run_id_b], ns)
+        out_batches, _stats = _build_block_batches(
+            term_keys, docids, tfs, dls, shard_range,
+            pos_flat=pos_flat, pos_valid=pos_valid,
+            with_shard=True, term_values=run_terms,
+        )
+        yield from out_batches
 
     n_tasks = n_tasks or frags.sparkSession.sparkContext.defaultParallelism
     return (
         frags.withColumn(
             "shard", (F.col("min_docid") / F.lit(shard_range)).cast("long")
         )
-        .repartition(n_tasks, "term", "shard")
+        .repartitionByRange(n_tasks, "shard")
         .sortWithinPartitions("term", "shard", "min_docid")
         .mapInArrow(compact_runs, SEGMENT_SCHEMA_DDL + ", shard long")
     )

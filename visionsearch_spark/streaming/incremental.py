@@ -294,7 +294,8 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
             "overwrite"
         ).parquet(store.epoch_path("term_stats", next_ep))
-        compacted = _compact_segments(frags, int(meta["shard_range"]))
+        compacted = _compact_segments(frags, int(meta["shard_range"]),
+                                      n_tasks=n_partitions)
         from visionsearch_spark.index.spimi import write_segments
 
         # blooms=False: appends skip the Bloom sidecar pass (ingest pays
