@@ -10,11 +10,19 @@ Scale recipe (SURVEY.md §7 B2): a single global `row_number()` window would
 funnel 10^12 rows through ONE task. Instead:
   1. `repartitionByRange(conv_id, turn_idx)` — range-partitioned shuffle
      (Spark samples split points; each partition holds a contiguous key
-     range, ordered ACROSS partitions by construction).
+     range, ordered ACROSS partitions by construction), sorted within
+     partitions.
   2. per-partition counts -> prefix-sum offsets on the driver (tiny: one
      int per partition).
-  3. `row_number()` windowed BY partition id (parallel, no global funnel)
-     + broadcast-joined offset.
+  3. docid = offset + in-partition ordinal. The ordinal is the LOW 33
+     BITS of `monotonically_increasing_id()` (documented layout:
+     partition id << 33 | record number), evaluated in the same stage as
+     the sort and pinned by the persist — equal to the old
+     `row_number() OVER (PARTITION BY _pid ORDER BY key)` because the
+     partition is already key-sorted and the key is unique, but with NO
+     hashpartitioning(_pid) exchange and no window re-sort (r7: the
+     window was a second full shuffle of every text byte). The offset
+     attaches via a broadcast join (narrow).
 """
 
 from __future__ import annotations
@@ -43,8 +51,10 @@ def dense_ids(
     Same two-phase recipe as assign_docids_with_count: range-partition by
     the value (sampled split points keep ranges ordered ACROSS partitions),
     per-partition counts -> prefix-sum offsets on the driver (one int per
-    partition), then a PER-PARTITION row_number + broadcast offset join.
-    At 100 TB the distinct-term table never funnels through one task.
+    partition), then the in-partition ordinal (monotonically_increasing_id
+    low bits — no window exchange, see module docstring) + broadcast
+    offset join. At 100 TB the distinct-term table never funnels through
+    one task.
 
     The ranged frame is persisted: range boundaries come from sampling, so
     the offsets job and the row_number job must see the same partitioning.
@@ -54,6 +64,10 @@ def dense_ids(
         distinct_vals.repartitionByRange(n, col)
         .sortWithinPartitions(col)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_ord",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if unpersist_handle is not None:
@@ -64,12 +78,10 @@ def dense_ids(
         offsets.append((r["_pid"], acc))
         acc += r["count"]
     off_df = ranged.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
-    w = Window.partitionBy("_pid").orderBy(col)
     return (
-        ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.col("_rn"))
-        .drop("_pid", "_rn", "_offset")
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_ord") + F.lit(1))
+        .drop("_pid", "_ord", "_offset")
     )
 
 
@@ -96,6 +108,10 @@ def assign_docids_with_count(
         df.repartitionByRange(n, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_ord",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if unpersist_handle is not None:
@@ -108,12 +124,10 @@ def assign_docids_with_count(
     off_df = ranged.sparkSession.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
     out = (
-        ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn("docid", F.col("_offset") + F.col("_rn") - F.lit(1))
-        .drop("_pid", "_rn", "_offset")
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("docid", F.col("_offset") + F.col("_ord"))
+        .drop("_pid", "_ord", "_offset")
     )
     return out, acc
 
