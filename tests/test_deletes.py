@@ -292,12 +292,21 @@ def test_http_delete_endpoint(spark, store, tmp_path):
 
 def test_deny_rides_fast_path_plan(spark, store):
     """Tombstoned stores keep the zero-posting-shuffle plan: deny packs
-    shuffle on route_key; segment dirs never appear in a Spark FileScan."""
+    shuffle on route_key; segment dirs never appear in a Spark FileScan.
+    Tiny bins pinned so the fixture-sized store fans out to >1 task —
+    with one bin the route_key exchange legitimately collapses to
+    SinglePartition (r7 _n_bins work-proportional floor)."""
+    import os
+
     victims = _victims(spark, store)
     _delete(spark, store, victims)
     seg_dirs = store.segment_paths()
-    res = batch_topk(spark, store, Q)
-    res.count()
-    plan = res._jdf.queryExecution().executedPlan().toString()
+    os.environ["VSS_QUERY_BIN_BYTES"] = "1"
+    try:
+        res = batch_topk(spark, store, Q)
+        res.count()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        os.environ.pop("VSS_QUERY_BIN_BYTES", None)
     assert not any(d in plan for d in seg_dirs)
     assert "hashpartitioning(route_key" in plan

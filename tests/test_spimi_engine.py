@@ -193,9 +193,19 @@ def test_fast_path_plan_has_no_posting_shuffle(spark, built_store):
     assert "BroadcastHashJoin" in plan
 
     allow = spark.range(0, 50).select(F.col("id").alias("docid"))
-    filt = batch_topk(spark, built_store, q, docid_filter=allow)
-    filt.count()
-    fplan = filt._jdf.queryExecution().executedPlan().toString()
+    # pin tiny bins so the fixture-sized store still fans out to >1 task
+    # (r7 _n_bins floors task count by bytes x queries; with one bin the
+    # route_key exchange legitimately collapses to SinglePartition and
+    # the assertion below would have nothing to pin)
+    import os
+
+    os.environ["VSS_QUERY_BIN_BYTES"] = "1"
+    try:
+        filt = batch_topk(spark, built_store, q, docid_filter=allow)
+        filt.count()
+        fplan = filt._jdf.queryExecution().executedPlan().toString()
+    finally:
+        os.environ.pop("VSS_QUERY_BIN_BYTES", None)
     # the filter's own per-shard pack agg may hash on shard; the
     # POSTINGS must not: no Spark scan of any segment dir
     assert not any(d in fplan for d in seg_dirs)
@@ -299,3 +309,39 @@ def test_segment_files_never_split_under_session_conf(
             == [(r["docid"], r["score"]) for r in ref]
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+
+
+def test_n_bins_work_proportional():
+    """r7 task-granularity floor: bin count scales with bytes x queries,
+    capped at min(n_tasks, n_files), never below 1 — and the cap side
+    (big work) reproduces the old min(n_tasks, len(files)) exactly."""
+    from visionsearch_spark.query.wand import _n_bins
+
+    files_small = [(1 << 20, f"/s/{i}") for i in range(32)]  # 32 MB total
+    # one interactive query over 32 MB -> 8 bins at the 4 MB default
+    assert _n_bins(files_small, 32, 1) == 8
+    # a 10-query batch is 10x the work -> full fan-out again
+    assert _n_bins(files_small, 32, 10) == 32
+    # fleet-sized store: cap unchanged from the pre-r7 rule
+    files_big = [(1 << 30, f"/b/{i}") for i in range(500)]
+    assert _n_bins(files_big, 32, 1) == 32
+    assert _n_bins(files_big, 16, 1) == 16
+    # degenerate: empty store still yields one bin (callers guard files)
+    assert _n_bins([], 32, 1) == 1
+
+
+def test_topk_results_invariant_to_bin_count(spark, built_store):
+    """ANY whole-file task assignment gives final per-partition scores:
+    forcing 1 bin and forcing max fan-out must return identical rows."""
+    import os
+
+    q = "join filter stream"
+    try:
+        os.environ["VSS_QUERY_BIN_BYTES"] = str(1 << 40)  # -> 1 bin
+        one = topk(spark, built_store, q, k=7).collect()
+        os.environ["VSS_QUERY_BIN_BYTES"] = "1"  # -> max bins
+        many = topk(spark, built_store, q, k=7).collect()
+    finally:
+        os.environ.pop("VSS_QUERY_BIN_BYTES", None)
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    assert len(one) == 7

@@ -216,14 +216,26 @@ def _make_score_fn(qplans: list[tuple[int, list[tuple[str, float, int]], int]],
         out_score: list[np.ndarray] = []
 
         def decode_all(term):
-            ds, ts, ls = [], [], []
-            for n, db, tb, lb, _mt, _md in blocks[term]:
-                ds.append(decode_docids(db, n))
-                ts.append(decode_varint(tb, n).astype(np.float64))
-                ls.append(decode_varint(lb, n).astype(np.float64))
-            d = np.concatenate(ds)
-            tf = np.concatenate(ts)
-            dl = np.concatenate(ls)
+            # LEB128 streams are self-delimiting: concatenate every
+            # block's buffer and decode the term's postings in ONE
+            # vectorized pass per payload (the old per-block loop paid
+            # numpy fixed cost on <=128-element arrays); per-block
+            # absolute docids are restored by a segmented cumsum
+            blks = blocks[term]
+            ns = np.fromiter((b[0] for b in blks), dtype=np.int64,
+                             count=len(blks))
+            total = int(ns.sum())
+            deltas = decode_varint(
+                b"".join(b[1] for b in blks), total).astype(np.int64)
+            vstarts = np.zeros(ns.size, dtype=np.int64)
+            np.cumsum(ns[:-1], out=vstarts[1:])
+            c = np.cumsum(deltas)
+            base = c[vstarts] - deltas[vstarts]
+            d = c - np.repeat(base, ns)
+            tf = decode_varint(
+                b"".join(b[2] for b in blks), total).astype(np.float64)
+            dl = decode_varint(
+                b"".join(b[3] for b in blks), total).astype(np.float64)
             return d, tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -666,6 +678,27 @@ def _bloom_prune(files: list[tuple[int, str]],
     return kept
 
 
+def _n_bins(files: list[tuple[int, str]], n_tasks: int,
+            n_queries: int) -> int:
+    """Task count for the file-aligned scan: one bin per
+    VSS_QUERY_BIN_BYTES (default 4 MB) of segment bytes PER QUERY in the
+    batch, capped at min(n_tasks, n_files) as before. A local[32]
+    32-task job costs ~0.2 s job + ~6 ms/task scheduling (measured r7),
+    so slicing a 6 MB store into 32 bins for ONE interactive query is
+    pure fixed overhead; sizing parallelism to the work (bytes x
+    queries) keeps small scans at a handful of tasks while a
+    fleet-sized store — or a big batch — still fans out exactly as
+    before (the floor only ever REDUCES task count, never caps it below
+    the work). Env-tunable: per-task fixed cost is a cluster property,
+    not a local[32] constant."""
+    import os as _os
+
+    bin_bytes = int(_os.environ.get("VSS_QUERY_BIN_BYTES", 4 << 20))
+    total = sum(sz for sz, _p in files)
+    by_work = -(-(total * max(1, n_queries)) // max(1, bin_bytes))
+    return max(1, min(n_tasks, len(files), by_work))
+
+
 def _lpt_bins(files: list[tuple[int, str]], n_bins: int) -> list[list[str]]:
     """Greedy LPT: files in size-descending order, each into the
     currently-lightest bin — balanced BYTES per bin even when Zipf-heavy
@@ -840,30 +873,43 @@ def _partial_scores(
         files = _bloom_prune(_segment_files(store), hit_terms)
         if not files:  # store with no committed segments: nothing to hit
             return None, []
-        # LPT-pack files into byte-balanced bins, ONE BIN PER TASK: bin i
-        # is keyed by _route_keys(n)[i], a long engineered to hash-
-        # partition to partition i, so repartition(n, "route_key") lands
-        # exactly one bin per task deterministically (round-robin was
-        # only count-exact from a single input partition — the r4 advice
-        # finding). Parallelism caps at the file count (= build
-        # n_partitions per live dir — size n_partitions for the query
-        # fleet, not just the build).
-        bins = _lpt_bins(files, min(n_tasks, len(files)))
+        # LPT-pack files into byte-balanced bins, ONE BIN PER TASK; the
+        # bin count is work-proportional (_n_bins): capped at
+        # min(n_tasks, n_files) as before, floored so each task owns
+        # ~VSS_QUERY_BIN_BYTES of segment bytes per query. Parallelism
+        # caps at the file count (= build n_partitions per live dir —
+        # size n_partitions for the query fleet, not just the build).
+        bins = _lpt_bins(files, _n_bins(files, n_tasks, len(qplans)))
         rkeys = _route_keys(len(bins))
         has_filter = docid_filter is not None
         has_bounds = collapse_bounds is not None
         has_deny = docid_deny is not None
         if not has_filter and not has_bounds and not has_deny:
-            paths_df = _local_df(
-                spark, [(rkeys[i], b) for i, b in enumerate(bins)],
-                "route_key long, paths array<string>",
-                ["route_key", "paths"],
-            )
-            partials = paths_df.repartition(len(bins), "route_key") \
+            # ONE-STAGE job: spark.range(n, numPartitions=n) puts id i
+            # in partition i deterministically, so the bins ride the
+            # task closure and NO exchange (or driver-side pandas frame)
+            # exists at all — the old shape paid a LocalTableScan +
+            # repartition exchange (~0.1 s/job at local[32]) purely to
+            # place one row per task (r7).
+            inner_fn = _make_file_score_fn(qplans, avgdl, threshold,
+                                           hit_terms, cursors=cursors)
+            bin_paths = [list(b) for b in bins]
+
+            def by_bin_id(batches: Iterator[pa.RecordBatch]
+                          ) -> Iterator[pa.RecordBatch]:
+                rows = [{"route_key": 0, "paths": bin_paths[int(v)]}
+                        for b in batches
+                        for v in b.column("id").to_pylist()]
+                if not rows:
+                    return
+                synth = pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                    [("route_key", pa.int64()),
+                     ("paths", pa.list_(pa.string()))]))
+                yield from inner_fn(iter([synth]))
+
+            partials = spark.range(0, len(bins), 1, len(bins)) \
                 .mapInArrow(
-                    _make_file_score_fn(qplans, avgdl, threshold,
-                                        hit_terms, cursors=cursors),
-                    "query_id long, docid long, score double",
+                    by_bin_id, "query_id long, docid long, score double",
                 )
             return partials, qplans
         # SIDEBAND FAST PATH (r5): allow/bounds rows stay DISTRIBUTED
