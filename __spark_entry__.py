@@ -1424,36 +1424,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # every round: _CHECKED_LAST_ROUND from CORRECTNESS_r{N-1}.json keys,
 # _ROUND_CHANGED from this round's operator diffs.
 
-# keys of CORRECTNESS_r05.json (50 rows, all green)
+# keys of CORRECTNESS_r06.json (50 rows, all green)
 _CHECKED_LAST_ROUND = {
-    "bm25_topk_hot", "bm25_topk_tail", "bm25_topk_single", "bm25_batch",
-    "bm25_filtered", "bm25_page2", "bm25_boosted", "bm25_synonyms",
-    "bm25_querystring", "bm25_explain", "percolate_queries",
-    "knn_join_exact", "hybrid_rrf", "hybrid_weighted", "bm25_after_delete",
-    "bm25_after_purge", "bm25_after_upsert", "bm25_phrase",
-    "bm25_proximity", "bm25_boolean", "bm25_prefix", "bm25_wildcard",
-    "bm25_fuzzy", "search_facets", "search_match_count", "bm25_unit_topk",
-    "bm25_fielded", "token_count", "term_df_top", "corpus_stats",
-    "dedup_exact", "threshold_topk_events", "turn_numbering",
-    "session_window_1h", "antijoin_orders_no_lineitem",
-    "groupby_event_type", "cosine_topk", "dedup_minhash_lsh",
-    "dedup_minhash_stream", "dedup_ngram_jaccard", "cross_contamination",
-    "ngram_decontaminate", "mixture_sample", "dedup_clusters",
-    "dedup_corpus", "simhash64", "simhash_neardup", "lang_id",
-    "quality_score", "token_length_stats",
-}
-
-# Round 6: never driver-checked (bigram_lm_nll/tfidf_keywords/related_docs),
-# guard changed in r5 (mixture_weights), or operator changed in r6
-# (bigram_lm_nll plan fix; bm25_phrase/bm25_proximity positional path;
-# percolate_queries must_not+phrase clauses).
-_ROUND_CHANGED = [
     "bigram_lm_nll", "tfidf_keywords", "related_docs", "mixture_weights",
     "bm25_phrase", "bm25_proximity", "percolate_queries",
     "percolate_advanced", "search_range_facets", "date_histogram_events",
     "significant_terms", "search_numeric_stats", "dup_spans",
     "dup_span_stats", "bm25_phrase_slop", "search_cardinality",
-    "term_vectors", "function_score",
+    "term_vectors", "function_score", "llm_token_estimate",
+    "pack_documents", "source_mixture", "repetition_stats", "pii_scrub",
+    "deterministic_sample", "training_set_filter", "doc_fingerprint",
+    "prefix_filter_source", "json_extract_props", "tpch_q1_like",
+    "revenue_by_nation", "embedding_neardup", "ann_lsh_topk",
+    "embed_text_hashproj", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_recall_at_k", "tumbling_window_events", "topk_per_group",
+    "bm25_topk_hot", "bm25_topk_tail", "bm25_topk_single", "bm25_batch",
+    "bm25_filtered", "bm25_page2", "bm25_boosted", "bm25_synonyms",
+    "bm25_querystring", "bm25_explain", "knn_join_exact", "hybrid_rrf",
+}
+
+# Round 7 (optimization round) rewrote the SPIMI/compaction kernels
+# (vectorized block encode; pos_bin merge path), the scoring kernel's
+# block decode, docid assignment, and the query job shape/bin sizing —
+# every ranked row rides those. Tier 1 lists the AFFECTED rows that were
+# r6-green (and so would otherwise rotate out of the window); the
+# affected rows NOT checked in r6 (bm25_after_delete/purge/upsert,
+# bm25_boolean — VERDICT r6 "What's wrong" #1 — plus bm25_unit_topk,
+# bm25_fielded, bm25_prefix/wildcard/fuzzy and the rest) are already in
+# tier 2 by construction. Budget: |tier1 ∩ checked| <= 15 keeps
+# |tier1| + |tier2| <= 50.
+_ROUND_CHANGED = [
+    "bm25_topk_hot", "bm25_topk_tail", "bm25_topk_single", "bm25_batch",
+    "bm25_filtered", "bm25_page2", "bm25_boosted", "bm25_synonyms",
+    "bm25_querystring", "bm25_explain", "bm25_phrase", "bm25_proximity",
+    "bm25_phrase_slop", "hybrid_rrf",
 ]
 
 

@@ -535,19 +535,27 @@ def build_index(
         .parquet(store.fragments_dir)
     )
     next_ep = int(meta.get("epoch") or 0) + 1
-    (
-        frags.groupBy("term")
-        .agg(F.sum("n").alias("df"))
-        .write.mode("overwrite")
-        .parquet(store.epoch_path("term_stats", next_ep))
-    )
-    mark("term_stats")
     shard_range = int(meta["shard_range"])
-    compacted = _compact_segments(frags, shard_range,
-                                  n_tasks=int(meta["n_partitions"]))
-    write_segments(compacted, int(meta["n_partitions"]),
-                   store.epoch_path("segments", next_ep))
-    mark("compact_write")
+    # term_stats and the segment merge are INDEPENDENT jobs over the
+    # same immutable fragments — submit them from two driver threads so
+    # the merge's tasks back-fill cores the tiny term_stats agg leaves
+    # idle (guide §2.6 overlap-independent-jobs; actions were only
+    # sequential because this code called them sequentially)
+    _run_overlapped(
+        lambda: (
+            frags.groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .write.mode("overwrite")
+            .parquet(store.epoch_path("term_stats", next_ep))
+        ),
+        lambda: write_segments(
+            _compact_segments(frags, shard_range,
+                              n_tasks=int(meta["n_partitions"])),
+            int(meta["n_partitions"]),
+            store.epoch_path("segments", next_ep),
+        ),
+    )
+    mark("term_stats+compact_write")
     prev_live = (meta.get("segment_dirs") or []) + (meta.get("term_stats_dirs") or [])
     meta.update({
         "phase": "built",
@@ -561,6 +569,22 @@ def build_index(
     store.write_meta(meta)
     store.gc_dirs()
     return store
+
+
+def _run_overlapped(*thunks) -> None:
+    """Run independent Spark actions from driver threads so one job's
+    task tail back-fills executors the other leaves idle (guide §2.6).
+    Job descriptions/groups are thread-local, so labels stay correct;
+    exceptions re-raise in submission order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        for f in futs:
+            f.result()
 
 
 def spimi_pending(spark: SparkSession, store: IndexStore, shard_range: int,
@@ -777,13 +801,16 @@ def compact_store(spark: SparkSession, root: str,
             "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         })
     next_ep = int(meta.get("epoch") or 0) + 1
-    frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(store.epoch_path("term_stats", next_ep))
-    compacted = _compact_segments(frags, int(meta["shard_range"]),
-                                  n_tasks=n_partitions)
-    write_segments(compacted, n_partitions,
-                   store.epoch_path("segments", next_ep))
+    # independent jobs — overlap (guide §2.6; same pattern as build)
+    _run_overlapped(
+        lambda: frags.groupBy("term").agg(F.sum("n").alias("df")).write
+        .mode("overwrite").parquet(store.epoch_path("term_stats", next_ep)),
+        lambda: write_segments(
+            _compact_segments(frags, int(meta["shard_range"]),
+                              n_tasks=n_partitions),
+            n_partitions, store.epoch_path("segments", next_ep),
+        ),
+    )
     prev_live = [os.path.basename(p) for p in store.segment_paths()]         + [os.path.basename(p) for p in store.term_stats_paths()]
     meta.update({
         "epoch": next_ep,

@@ -70,8 +70,6 @@ def _make_match_fn(all_of: list[str], any_of: list[str],
                    none_of: list[str]):
     """mapInArrow kernel: path rows in, matching docids out. Per-file
     exactness per the module docstring."""
-    from visionsearch_spark.index.codec import decode_docids
-
     read_terms = sorted(set(all_of) | set(any_of) | set(none_of))
 
     def match(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -90,19 +88,32 @@ def _make_match_fn(all_of: list[str], any_of: list[str],
             filter=pc.field("term").isin(read_terms),
             use_threads=False,
         )
-        per_term: dict[str, list[np.ndarray]] = {}
-        for b in scanner.to_batches():
-            pdf = b.to_pandas()
-            for row in pdf.itertuples(index=False):
-                per_term.setdefault(row.term, []).append(
-                    decode_docids(row.docids_bin, int(row.n))
-                )
+        tbl = scanner.to_table()
+        terms_b = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        ns = tbl["n"].to_numpy().astype(np.int64)
+        # one varint pass for ALL blocks (r7 — LEB128 streams
+        # concatenate; segmented cumsum restores per-block absolutes)
+        from visionsearch_spark.index.codec import decode_varint as _dv
+
+        total = int(ns.sum())
+        deltas = _dv(b"".join(tbl["docids_bin"].to_pylist()),
+                     total).astype(np.int64)
+        vbnd = np.zeros(ns.size + 1, dtype=np.int64)
+        np.cumsum(ns, out=vbnd[1:])
+        c = np.cumsum(deltas) if total else np.zeros(0, dtype=np.int64)
+        vs = vbnd[:-1]
+        all_docids = (c - np.repeat(c[vs] - deltas[vs], ns)
+                      if ns.size else np.zeros(0, dtype=np.int64))
+        rows_of: dict[str, list[int]] = {}
+        for i, t in enumerate(terms_b):
+            rows_of.setdefault(t, []).append(i)
 
         def docs(t: str) -> np.ndarray:
-            arrs = per_term.get(t)
-            if not arrs:
+            idxs = rows_of.get(t)
+            if not idxs:
                 return np.empty(0, dtype=np.int64)
-            return np.unique(np.concatenate(arrs))
+            return np.unique(np.concatenate(
+                [all_docids[vbnd[i]:vbnd[i + 1]] for i in idxs]))
 
         if all_of:
             base = docs(all_of[0])
@@ -222,7 +233,7 @@ def _make_positional_fn(toks: list[str], window: int | None,
     a vectorized sliding count — O(postings of the query's terms), never
     O(candidate tokens) like the staged-text fallback. Only
     docids_bin/tfs_bin/pos_bin of the query's terms are decoded."""
-    from visionsearch_spark.index.codec import decode_docids, decode_positions, decode_varint
+    from visionsearch_spark.index.codec import decode_positions, decode_varint
 
     read_terms = sorted(set(toks))
 
@@ -242,28 +253,43 @@ def _make_positional_fn(toks: list[str], window: int | None,
             filter=pc.field("term").isin(read_terms),
             use_threads=False,
         )
-        per_term: dict[str, list[np.ndarray]] = {}
-        for b in scanner.to_batches():
-            pdf = b.to_pandas()
-            for row in pdf.itertuples(index=False):
-                if row.pos_bin is None:
-                    raise ValueError(
-                        f"segment block for {row.term!r} has no pos_bin — "
-                        "positional query on a store built without "
-                        "positions=True"
-                    )
-                d = decode_docids(row.docids_bin, int(row.n))
-                tf = decode_varint(row.tfs_bin, int(row.n)).astype(np.int64)
-                p = decode_positions(row.pos_bin, tf)
-                per_term.setdefault(row.term, []).append(
-                    (np.repeat(d, tf) << np.int64(32)) | p
-                )
+        tbl = scanner.to_table()
+        terms_b = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        ns = tbl["n"].to_numpy().astype(np.int64)
+        pbins = tbl["pos_bin"].to_pylist()
+        missing = [terms_b[i] for i, p in enumerate(pbins) if p is None]
+        if missing:
+            raise ValueError(
+                f"segment block for {missing[0]!r} has no pos_bin — "
+                "positional query on a store built without positions=True"
+            )
+        # one varint pass per payload column for ALL blocks (r7)
+        total = int(ns.sum())
+        deltas = decode_varint(b"".join(tbl["docids_bin"].to_pylist()),
+                               total).astype(np.int64)
+        vbnd = np.zeros(ns.size + 1, dtype=np.int64)
+        np.cumsum(ns, out=vbnd[1:])
+        vs = vbnd[:-1]
+        c = np.cumsum(deltas) if total else np.zeros(0, dtype=np.int64)
+        all_d = (c - np.repeat(c[vs] - deltas[vs], ns)
+                 if ns.size else np.zeros(0, dtype=np.int64))
+        all_tf = decode_varint(b"".join(tbl["tfs_bin"].to_pylist()),
+                               total).astype(np.int64)
+        all_p = decode_positions(b"".join(pbins), all_tf)
+        all_keys = (np.repeat(all_d, all_tf) << np.int64(32)) | all_p
+        obnd = np.zeros(ns.size + 1, dtype=np.int64)
+        if ns.size:
+            np.cumsum(np.add.reduceat(all_tf, vs), out=obnd[1:])
+        rows_of: dict[str, list[int]] = {}
+        for i, t in enumerate(terms_b):
+            rows_of.setdefault(t, []).append(i)
 
         def keys(t: str) -> np.ndarray:
-            arrs = per_term.get(t)
-            if not arrs:
+            idxs = rows_of.get(t)
+            if not idxs:
                 return np.empty(0, dtype=np.int64)
-            return np.sort(np.concatenate(arrs))
+            return np.sort(np.concatenate(
+                [all_keys[obnd[i]:obnd[i + 1]] for i in idxs]))
 
         if slop is not None:
             m = len(toks)

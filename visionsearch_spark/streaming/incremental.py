@@ -291,20 +291,28 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
         frag_paths = [store.fragment_path(p) for p in delta_pids]
         frags = spark.read.schema(SEGMENT_SCHEMA_DDL).parquet(*frag_paths)
         next_ep = int(meta.get("epoch") or 0) + 1
-        frags.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
-            "overwrite"
-        ).parquet(store.epoch_path("term_stats", next_ep))
-        compacted = _compact_segments(frags, int(meta["shard_range"]),
-                                      n_tasks=n_partitions)
-        from visionsearch_spark.index.spimi import write_segments
+        from visionsearch_spark.index.spimi import (
+            _run_overlapped,
+            write_segments,
+        )
 
         # blooms=False: appends skip the Bloom sidecar pass (ingest pays
         # O(delta) only); unpruned delta files just fall back to the
         # never-wrong unpruned path until the next full compaction
-        # rewrites everything WITH sidecars (spimi.write_segments r6)
-        write_segments(compacted, n_partitions,
-                       store.epoch_path("segments", next_ep),
-                       blooms=False)
+        # rewrites everything WITH sidecars (spimi.write_segments r6).
+        # term_stats and the delta merge are independent jobs — overlap
+        # them (guide §2.6; same pattern as build_index).
+        _run_overlapped(
+            lambda: frags.groupBy("term").agg(F.sum("n").alias("df"))
+            .write.mode("overwrite")
+            .parquet(store.epoch_path("term_stats", next_ep)),
+            lambda: write_segments(
+                _compact_segments(frags, int(meta["shard_range"]),
+                                  n_tasks=n_partitions),
+                n_partitions, store.epoch_path("segments", next_ep),
+                blooms=False,
+            ),
+        )
         seg_dirs = [os.path.basename(p) for p in store.segment_paths()]
         ts_dirs = [os.path.basename(p) for p in store.term_stats_paths()]
         meta.update({
