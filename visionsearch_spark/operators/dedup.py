@@ -687,6 +687,19 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
     )
     converged = False
     try:
+        # convergence detection: labels only ever DECREASE (F.least), so
+        # a round changed something iff the exact label sum dropped —
+        # one trivial aggregate over the just-checkpointed frame instead
+        # of the old join-with-previous + filter + count (3 exchanges
+        # per round; r7). decimal(38,0) keeps the sum exact at any
+        # corpus size (int64 would overflow near 10^12 docs x 10^12
+        # ids).
+        def _lblsum(df: DataFrame):
+            return df.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+
+        prev_sum = _lblsum(labels)
         # max_iter + 1: convergence needs one all-quiet round AFTER the
         # last label flip, so a diameter-max_iter component must not be
         # misreported as non-converging
@@ -707,15 +720,12 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.join(labels.select("node",
-                                       F.col("lbl").alias("_old")), "node")
-                .filter(F.col("lbl") != F.col("_old")).count()
-            )
+            new_sum = _lblsum(new)
             labels = new
-            if changed == 0:
+            if new_sum == prev_sum:
                 converged = True
                 break
+            prev_sum = new_sum
         if not converged:
             if algorithm == "auto":
                 # adversarial-chain fallback: the round budget bounds
