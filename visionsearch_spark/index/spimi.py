@@ -378,7 +378,6 @@ def _make_spimi_fn(store_root: str, shard_range: int,
                 np.concatenate(([True], pids[1:] != pids[:-1])))
             gends = np.concatenate((gstarts[1:], [pids.size]))
             docid_col = batch.column("docid").to_numpy().astype(np.int64)
-            dl_col = batch.column("dl").to_numpy().astype(np.int64)
             text_col = batch.column("text")
             for gs, ge in zip(gstarts, gends):
                 pid = int(pids[gs])
@@ -405,7 +404,11 @@ def _make_spimi_fn(store_root: str, shard_range: int,
                 flat = flat.filter(keep)
                 parent = parent[keep.to_numpy(zero_copy_only=False)]
                 docid_rep = docid_col[gs:ge][parent]
-                dl_rep = dl_col[gs:ge][parent]
+                # dl derived from THIS token stream (= len(tokenize(text)),
+                # the frozen spec) — the kernel never reads staged's dl
+                # column, so the SPIMI input is (pid, docid, text) only
+                dl_doc = np.bincount(parent, minlength=int(ge - gs))
+                dl_rep = dl_doc[parent]
                 if positions:
                     # token index within the ANALYZED list (empties
                     # dropped first) — the coordinate the phrase verify
@@ -463,23 +466,14 @@ def build_index(
         stage_sec[name] = round(now - t_last, 3)
         t_last = now
 
+    fresh_staged = None  # cache-backed staged frame (fresh builds only)
+    cache_handle: list = []
     if not os.path.exists(store.meta_path):
-        cache_handle: list = []
         with_ids, n_docs = assign_docids_with_count(
             transcripts.select("conv_id", "turn_idx", "text"), n_partitions,
             unpersist_handle=cache_handle,
         )
         mark("assign_docids")
-        # staged-write diet: stage RAW text + dl, not the token array —
-        # the array re-encodes nearly every text byte plus offsets,
-        # roughly doubling the one big non-scaling write of the build
-        # (r1 scaling evidence: stage_write 1.4x for 4x cores). dl is
-        # counted JVM-side here (cheap — only the count shuffles); the
-        # SPIMI kernel re-tokenizes text with the same frozen spec.
-        toks = (
-            with_ids.select("docid", "conv_id", "turn_idx", "text")
-            .withColumn("dl", F.size(tokens_col("text")))
-        )
         # shard = query-time unit of docid-range co-location. Target ~128k
         # docs per shard (posting decode stays cache-friendly), but never
         # fewer shards than build partitions (query parallelism floor).
@@ -489,10 +483,28 @@ def build_index(
         # write_segments by RANGE-partitioning instead.)
         n_shards_eff = n_shards or max(n_partitions, n_docs // 131072)
         shard_range = max(1, -(-n_docs // n_shards_eff))  # ceil div
-        rows_per_pid = max(1, -(-n_docs // n_partitions))
-        staged = toks.withColumn(
-            "pid", (F.col("docid") / F.lit(rows_per_pid)).cast("int")
-        )
+        # pid = the docid-range partition the row already sits in (the
+        # cached frame is range-partitioned by the docid order key), so
+        # FRESH builds can SPIMI straight off the cache with no further
+        # shuffle (r7; the old uniform docid//rows_per_pid grid never
+        # aligned with the sampled partition bounds and forced a full
+        # re-shuffle of every text byte). pid stays a plain recorded
+        # column of staged — resume/repair/append group by its VALUE
+        # (spimi_pending), so the derivation is free to change.
+        # staged-write diet: stage RAW text + dl, not the token array —
+        # the array re-encodes nearly every text byte plus offsets,
+        # roughly doubling the one big non-scaling write of the build
+        # (r1 scaling evidence: stage_write 1.4x for 4x cores). dl is
+        # counted JVM-side here, AFTER the cache (computing it before
+        # the range exchange re-ran the ~1 s/pass tokens_col projection
+        # in the partitioner's sampling and shuffle-map passes — r7
+        # measured 1.3 s -> 5.0 s assign regression before reverting);
+        # the SPIMI kernel derives dl from its own token stream and
+        # never reads this column.
+        staged = with_ids.select(
+            "docid", "conv_id", "turn_idx", "text"
+        ).withColumn("dl", F.size(tokens_col("text"))) \
+            .withColumn("pid", F.spark_partition_id().cast("int"))
         # corpus stats observed DURING the staged write — no extra
         # aggregation job. sum_dl persists in meta so appends can update
         # stats incrementally (O(delta)) instead of re-scanning staged.
@@ -503,8 +515,6 @@ def build_index(
             "overwrite"
         ).parquet(store.staged_path)
         sum_dl = int(obs.get["sum_dl"] or 0)
-        for cached in cache_handle:  # staged parquet supersedes the cache
-            cached.unpersist()
         mark("stage_write")
         store.write_meta(
             {
@@ -519,11 +529,34 @@ def build_index(
                 "phase": "staged",
             }
         )
+        fresh_staged = staged
     meta = store.read_meta()
 
     # ---- SPIMI over pending partitions (resume = skip committed pids) ----
-    spimi_pending(spark, store, int(meta["shard_range"]), n_partitions,
-                  fail_pids=frozenset(fail_partitions))
+    if fresh_staged is not None:
+        # FRESH fast path: every pid is pending and the cached frame is
+        # already pid-partitioned and docid-sorted, so the kernel maps
+        # straight over it — zero shuffle, no staged re-scan. Runs ONLY
+        # after the phase="staged" meta commit above, so a crash mid-
+        # kernel resumes exactly like before (manifests committed so
+        # far are honored by spimi_pending on the retry).
+        spimi_fn = _make_spimi_fn(store.root, int(meta["shard_range"]),
+                                  frozenset(fail_partitions),
+                                  positions=store.has_positions())
+        try:
+            (
+                fresh_staged.select("pid", "docid", "text")
+                .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
+                .count()
+            )
+        finally:
+            for cached in cache_handle:  # fragments+staged supersede it
+                cached.unpersist()
+    else:
+        for cached in cache_handle:
+            cached.unpersist()
+        spimi_pending(spark, store, int(meta["shard_range"]), n_partitions,
+                      fail_pids=frozenset(fail_partitions))
     mark("spimi")
 
     # ---- merge/compact fragments -> term_stats + segments (next epoch) ----
@@ -608,7 +641,7 @@ def spimi_pending(spark: SparkSession, store: IndexStore, shard_range: int,
     spimi_fn = _make_spimi_fn(store.root, shard_range, fail_pids,
                               positions=store.has_positions())
     (
-        pending.select("pid", "docid", "dl", "text")
+        pending.select("pid", "docid", "text")
         .repartition(n_partitions, "pid")
         .sortWithinPartitions("pid", "docid")
         .mapInArrow(spimi_fn, MANIFEST_SCHEMA_DDL)
