@@ -6,21 +6,30 @@ Pipeline (SURVEY.md §3.2 "ours"):
               COUNT; staged table (pid, docid, conv_id, turn_idx, dl,
               text) written once — raw text, NOT the token array (the
               array would re-encode every text byte plus offsets,
-              doubling the build's one non-scaling write). pid = docid *
-              n_partitions // n_docs, a pure function of docid, so resume
-              is partition-stable by construction.
-  2. SPIMI    mapInArrow over pid-grouped, docid-sorted rows: re-tokenize
-              text (pandas str kernel, same frozen spec), accumulate
-              term -> (docids, tfs, dls) per pid with pandas explode +
-              groupby (vectorized — no per-row Python), cut blocks at 128
-              docs AND at docid-shard boundaries (R), delta+varint encode,
-              write fragment parquet + manifest json ATOMICALLY per pid.
-              Already-committed pids are skipped (resume).
+              doubling the build's one non-scaling write). pid on a
+              fresh build = the docid-range partition the row already
+              sits in (r7) — recorded in staged, so resume/repair group
+              by its VALUE and stay partition-stable; appends assign
+              fresh pid ranges per delta (incremental.py).
+  2. SPIMI    fresh builds map the kernel straight over the cached
+              docid frame (already pid-partitioned and docid-sorted —
+              the corpus crosses an exchange exactly ONCE per build);
+              resume/repair/append shuffle pending staged rows by pid
+              (spimi_pending). The kernel re-tokenizes text (frozen
+              spec: Python lower + RE2 split, fuzz-pinned), aggregates
+              postings with one dictionary-encode + int lexsort, cuts
+              blocks at 128 docs AND docid-shard boundaries (R), and
+              varint-encodes the whole partition in one stream per
+              payload (_build_block_batches); fragment parquet +
+              manifest json commit ATOMICALLY per pid, committed pids
+              are skipped (resume).
   3. MERGE    fragments -> term_stats (sum of block df) and compacted
-              segments via applyInPandas over (term, shard): blocks of one
-              term have globally disjoint docid ranges, so merging is
-              sort-by-min_docid + re-chunk — never a posting-level merge
-              sort. Sharding by docid range bounds per-task work for hot
+              segments, two independent jobs run overlapped: blocks of
+              one term have globally disjoint docid ranges, so merging
+              is concat-in-min_docid-order + re-chunk — never a
+              posting-level merge sort — over ONE range(shard) exchange
+              whose output order is already the final file order.
+              Sharding by docid range bounds per-task work for hot
               terms (the salted-repartition skew defense of the north
               rule: fanout grows with df because a hot term spans more
               shards).
