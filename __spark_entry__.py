@@ -1461,6 +1461,15 @@ _ROUND_CHANGED = [
 ]
 
 
+# First row of the previous round's window: whatever runs first absorbs
+# the session's one-time warmup (JVM JIT, python worker forks, first
+# parquet reads), so cross-round PER-QUERY timing comparisons are only
+# meaningful if the same row runs first each round. Ordering within the
+# window is free under the tier policy (membership is what the tiers
+# decide); the anchor occupies the window's single tier-3 slot.
+_WARMUP_ANCHOR = "bigram_lm_nll"
+
+
 def _rotate_for_driver(q: dict) -> dict:
     tier1 = [n for n in _ROUND_CHANGED if n in q]
     tier2 = [n for n in q if n not in _CHECKED_LAST_ROUND and n not in tier1]
@@ -1468,7 +1477,12 @@ def _rotate_for_driver(q: dict) -> dict:
     assert len(tier1) + len(tier2) <= 50, (
         "rotation invariant broken: stale rows exceed the driver window"
     )
-    return {n: q[n] for n in tier1 + tier2 + tier3}
+    head: list[str] = []
+    if (_WARMUP_ANCHOR in tier3
+            and len(tier1) + len(tier2) < 50):
+        tier3.remove(_WARMUP_ANCHOR)
+        head = [_WARMUP_ANCHOR]
+    return {n: q[n] for n in head + tier1 + tier2 + tier3}
 
 
 # ---------------------------------------------------------------------------
