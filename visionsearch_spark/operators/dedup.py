@@ -699,20 +699,16 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
 
-        prev_sum = _lblsum(labels)
-        # max_iter + 1: convergence needs one all-quiet round AFTER the
-        # last label flip, so a diameter-max_iter component must not be
-        # misreported as non-converging
-        for _ in range(max_iter + 1):
+        def _round(frame: DataFrame) -> DataFrame:
             nbr = (
                 edges.join(
-                    labels.select(F.col("node").alias("b"),
-                                  F.col("lbl").alias("nlbl")), "b")
+                    frame.select(F.col("node").alias("b"),
+                                 F.col("lbl").alias("nlbl")), "b")
                 .groupBy("a").agg(F.min("nlbl").alias("minn"))
             )
-            new = (
-                labels.join(nbr.withColumnRenamed("a", "node"),
-                            "node", "left")
+            return (
+                frame.join(nbr.withColumnRenamed("a", "node"),
+                           "node", "left")
                 .select(
                     "node",
                     F.least(F.col("lbl"),
@@ -720,12 +716,31 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
                 )
                 .localCheckpoint(eager=True)
             )
-            new_sum = _lblsum(new)
-            labels = new
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
+
+        # pipelined convergence (r7): round i's sum-agg runs on a driver
+        # thread WHILE round i+1's checkpoint job executes, so the check
+        # adds zero wall time. At the fixpoint one speculative round is
+        # wasted — it recomputes identical labels, results unchanged.
+        # max_iter + 1 checks: convergence needs one all-quiet round
+        # AFTER the last label flip, so a diameter-max_iter component
+        # must not be misreported as non-converging.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            prev_sum = _lblsum(labels)
+            cur = _round(labels)
+            cur_fut = pool.submit(_lblsum, cur)
+            for _ in range(max_iter + 1):
+                nxt = _round(cur)  # speculative while cur's sum computes
+                nxt_fut = pool.submit(_lblsum, nxt)
+                cur_sum = cur_fut.result()
+                if cur_sum == prev_sum:
+                    converged = True
+                    labels = cur
+                    nxt_fut.result()  # drain before pool shutdown
+                    break
+                prev_sum = cur_sum
+                cur, cur_fut = nxt, nxt_fut
         if not converged:
             if algorithm == "auto":
                 # adversarial-chain fallback: the round budget bounds
