@@ -320,3 +320,71 @@ def test_sloppy_phrase_requires_positions(spark, transcripts,
         phrase_docids(spark, store, "join filter", slop=2)
     with pytest.raises(ValueError, match="slop"):
         phrase_docids(spark, store, "join filter", slop=-1)
+
+
+def test_compact_degrades_mixed_pos_runs_to_null(spark):
+    """Legacy-mix rule through the r7 vectorized compaction kernel: a
+    (term, shard) run holding ANY positionless block emits NULL pos_bin
+    for the whole run, while fully-positional runs round-trip their
+    positions exactly and postings merge identically either way."""
+    import numpy as np
+    from visionsearch_spark.index.codec import (
+        decode_docids,
+        decode_positions,
+        decode_varint,
+        encode_docids,
+        encode_positions,
+        encode_varint,
+    )
+    from visionsearch_spark.index.spimi import _compact_segments
+    from visionsearch_spark.index.store import SEGMENT_SCHEMA_DDL
+
+    def block(term, docids, tfs, dls, pos_flat):
+        d = np.asarray(docids, dtype=np.int64)
+        t = np.asarray(tfs, dtype=np.int64)
+        L = np.asarray(dls, dtype=np.int64)
+        pb = (encode_positions(np.asarray(pos_flat, dtype=np.int64), t)
+              if pos_flat is not None else None)
+        return (term, int(d[0]), int(d[-1]), len(d),
+                bytes(encode_docids(d)),
+                bytes(encode_varint(t.astype(np.uint64))),
+                bytes(encode_varint(L.astype(np.uint64))),
+                int(t.max()), int(L.min()), pb)
+
+    shard_range = 1000
+    rows = [
+        # run A ("alpha", shard 0): two fragments, BOTH positional
+        block("alpha", [1, 5], [2, 1], [9, 9], [0, 3, 7]),
+        block("alpha", [20, 40], [1, 2], [9, 9], [2, 1, 4]),
+        # run B ("beta", shard 0): one positional + one NULL -> degrade
+        block("beta", [2, 6], [1, 1], [9, 9], [5, 6]),
+        block("beta", [30], [2], [9], None),
+    ]
+    frags = spark.createDataFrame(rows, SEGMENT_SCHEMA_DDL)
+    out = _compact_segments(frags, shard_range, n_tasks=2).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append(r)
+    # merged postings identical for both runs
+    for term, exp_docids, exp_tfs in [
+        ("alpha", [1, 5, 20, 40], [2, 1, 1, 2]),
+        ("beta", [2, 6, 30], [1, 1, 2]),
+    ]:
+        blocks = sorted(by_term[term], key=lambda r: r["min_docid"])
+        d = np.concatenate(
+            [decode_docids(r["docids_bin"], r["n"]) for r in blocks])
+        t = np.concatenate(
+            [decode_varint(r["tfs_bin"], r["n"]) for r in blocks])
+        assert d.tolist() == exp_docids
+        assert t.tolist() == exp_tfs
+    # run A keeps exact positions; run B is NULL everywhere
+    a = sorted(by_term["alpha"], key=lambda r: r["min_docid"])
+    a_tfs = np.concatenate(
+        [decode_varint(r["tfs_bin"], r["n"]) for r in a]).astype(np.int64)
+    a_pos = np.concatenate([
+        decode_positions(r["pos_bin"],
+                         decode_varint(r["tfs_bin"], r["n"]).astype(np.int64))
+        for r in a
+    ])
+    assert a_pos.tolist() == [0, 3, 7, 2, 1, 4] and a_tfs.sum() == 6
+    assert all(r["pos_bin"] is None for r in by_term["beta"])
