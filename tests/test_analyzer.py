@@ -7,7 +7,12 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from visionsearch_spark.analyzer import duckdb_tokens, tokenize, tokens_col
+from visionsearch_spark.analyzer import (
+    duckdb_tokens,
+    token_count_col,
+    tokenize,
+    tokens_col,
+)
 
 CASES = [
     "Hello, World! 42 times",
@@ -51,6 +56,35 @@ def test_spark_matches_python(spark):
     for i, c in enumerate(CASES):
         expected = tokenize(c)
         assert (got[i] or []) == expected, f"case {i!r}: {c!r}"
+
+
+def test_token_count_col_matches_tokenize(spark):
+    """token_count_col (regexp_count, no array alloc — the staged dl
+    expression since r7) must equal BOTH size(tokens_col()) and the
+    frozen Python analyzer's len(tokenize()), nulls included. Beyond
+    CASES, a few width/casing adversaries (İ, ligatures, ß, emoji,
+    NUL) that full-vs-simple case mapping or regex-class differences
+    would trip."""
+    extra = ["İstanbul ŞEHİR", "ﬁne ﬂow", "ẞß", "🙂ab🙂", "a\x00b",
+             "0", "  ", "a" * 500]
+    cases = CASES + extra
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, text string"
+    )
+    import pyspark.sql.functions as F
+
+    rows = df.select(
+        "i",
+        F.size(tokens_col("text")).alias("via_split"),
+        token_count_col("text").alias("via_count"),
+    ).collect()
+    for r in rows:
+        c = cases[r["i"]]
+        assert r["via_count"] == r["via_split"], f"case {c!r}"
+        if c is not None:
+            assert r["via_count"] == len(tokenize(c)), f"case {c!r}"
+        else:
+            assert r["via_count"] is None
 
 
 def test_duckdb_matches_python():

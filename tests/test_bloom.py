@@ -22,6 +22,38 @@ def test_build_has_no_false_negatives():
     assert all(bloom.may_contain(m, k, bits, t) for t in terms)
 
 
+def test_vectorized_build_matches_per_term_reference():
+    """build_bloom's batched md5 + single scatter (r7) must stay
+    byte-identical to the straightforward per-term loop it replaced —
+    sidecars written by either implementation are interchangeable."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def reference(terms, bits_per_key=bloom.BITS_PER_KEY,
+                  k=bloom.K_HASHES):
+        terms = list(terms)
+        m = max(bloom.MIN_BITS, 1 << int(np.ceil(np.log2(
+            max(1, bits_per_key * len(terms))))))
+        m = min(m, bloom.CAP_BITS)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for t in terms:
+            d = hashlib.md5(t.encode("utf-8")).digest()
+            h1, h2 = struct.unpack("<QQ", d)
+            pos = (h1 + h2 * np.arange(k, dtype=np.uint64)) % np.uint64(m)
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(3)).astype(np.int64),
+                (1 << (pos & np.uint64(7))).astype(np.uint8),
+            )
+        return m, k, bits.tobytes()
+
+    for terms in ([], ["a"], [f"t{i}" for i in range(7)],
+                  [f"term{i}" for i in range(3000)],
+                  ["unicodeİ", "café", "\U0001f642"]):
+        assert bloom.build_bloom(terms) == reference(terms), len(terms)
+
+
 def test_false_positive_rate_reasonable():
     import numpy as np
 
@@ -48,6 +80,93 @@ def test_sidecar_per_segment_file(bloom_store):
         for f in seg:
             side = bloom.load_bloom(os.path.join(d, f))
             assert side is not None, f
+
+
+def _assert_sidecars_match_file_terms(store):
+    """Every sidecar must decode to EXACTLY the filter of its own file's
+    distinct term set — catches any mispairing of kernel-written scratch
+    filters with part files (a wrong pairing would be a false-negative
+    filter, i.e. wrong pruning)."""
+    import struct
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for d in store.segment_paths():
+        for f in os.listdir(d):
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            seg = os.path.join(d, f)
+            col = pq.read_table(seg, columns=["term"]).column("term")
+            terms = pc.unique(col.combine_chunks()).to_pylist()
+            m, k, payload = bloom.build_bloom(terms)
+            with open(bloom.bloom_path(seg), "rb") as fh:
+                raw = fh.read()
+            expect = bloom.MAGIC + struct.pack("<QI", m, k) + payload
+            assert raw == expect, seg
+            checked += 1
+    assert checked
+
+
+def test_kernel_sidecars_match_file_terms(bloom_store):
+    """The r7 fused path (compaction kernel writes scratch filters in
+    the write stage; attach_scratch_blooms pairs them by part number)
+    must yield sidecars byte-equal to a from-the-file recomputation."""
+    _assert_sidecars_match_file_terms(bloom_store)
+
+
+def test_stale_bloom_scratch_is_cleared(spark, transcripts,
+                                        tmp_path_factory):
+    """A crashed previous attempt can leave a scratch dir whose filters
+    reflect THAT run's range boundaries; write_segments must clear it
+    before the write so stale filters are never paired with fresh part
+    files (false negatives = wrong pruning)."""
+    from visionsearch_spark.index.spimi import (
+        _bloom_scratch_path,
+        build_index,
+        compact_store,
+    )
+    from visionsearch_spark.index.store import IndexStore
+
+    root = str(tmp_path_factory.mktemp("bloomstale"))
+    build_index(transcripts, root, n_partitions=8, n_shards=16)
+    store = IndexStore(root)
+    next_ep = int(store.read_meta()["epoch"]) + 1
+    scratch = _bloom_scratch_path(store, next_ep)
+    os.makedirs(scratch, exist_ok=True)
+    for pid in range(12):  # garbage filters for every plausible pid
+        with open(os.path.join(scratch, f"pid-{pid:05d}.bin"), "wb") as f:
+            f.write(bloom.MAGIC + b"\x00" * 12)  # m=0: rejects all terms
+    compact_store(spark, root, n_partitions=8)
+    store = IndexStore(root)
+    assert not os.path.exists(scratch)
+    _assert_sidecars_match_file_terms(store)
+
+
+def test_build_and_compact_never_fall_back_to_rescan(
+        spark, transcripts, tmp_path_factory):
+    """Plan-shape pin for the r7 fused sidecar path: builds and full
+    compactions must cover every part file from the kernel-written
+    scratch filters alone — no post-write write_segment_blooms job, no
+    per-file write_bloom_for_file fallback (either would re-read the
+    fresh segments)."""
+    from unittest import mock
+
+    from visionsearch_spark.index.spimi import compact_store
+
+    root = str(tmp_path_factory.mktemp("bloomfused"))
+
+    def boom(*a, **k):
+        raise AssertionError(f"sidecar fallback used: {a!r}")
+
+    with mock.patch.object(bloom, "write_segment_blooms",
+                           side_effect=boom), \
+            mock.patch.object(bloom, "write_bloom_for_file",
+                              side_effect=boom):
+        store = build_index(transcripts, root, n_partitions=8, n_shards=16)
+        compact_store(spark, root, n_partitions=8)
+    _assert_sidecars_match_file_terms(store)
 
 
 def test_load_bloom_rejects_garbage(tmp_path):

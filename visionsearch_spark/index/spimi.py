@@ -56,7 +56,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from visionsearch_spark.analyzer import TOKEN_SEP_RE, tokens_col
+from visionsearch_spark.analyzer import TOKEN_SEP_RE, token_count_col
 from visionsearch_spark.bm25 import B, K1
 from visionsearch_spark.docid import assign_docids_with_count
 from visionsearch_spark.index.store import (
@@ -512,7 +512,7 @@ def build_index(
         # never reads this column.
         staged = with_ids.select(
             "docid", "conv_id", "turn_idx", "text"
-        ).withColumn("dl", F.size(tokens_col("text"))) \
+        ).withColumn("dl", token_count_col("text")) \
             .withColumn("pid", F.spark_partition_id().cast("int"))
         # corpus stats observed DURING the staged write — no extra
         # aggregation job. sum_dl persists in meta so appends can update
@@ -592,9 +592,11 @@ def build_index(
         ),
         lambda: write_segments(
             _compact_segments(frags, shard_range,
-                              n_tasks=int(meta["n_partitions"])),
+                              n_tasks=int(meta["n_partitions"]),
+                              bloom_scratch=_bloom_scratch_path(store, next_ep)),
             int(meta["n_partitions"]),
             store.epoch_path("segments", next_ep),
+            bloom_scratch=_bloom_scratch_path(store, next_ep),
         ),
     )
     mark("term_stats+compact_write")
@@ -611,6 +613,14 @@ def build_index(
     store.write_meta(meta)
     store.gc_dirs()
     return store
+
+
+def _bloom_scratch_path(store: IndexStore, epoch: int) -> str:
+    """Scratch dir for kernel-written Bloom sidecars of one epoch's
+    segment write — "_"-prefixed (invisible to dataset discovery),
+    removed by attach_scratch_blooms; a crash in between leaves only an
+    inert underscore dir the next epoch never reads."""
+    return os.path.join(store.root, f"_bloomstage-{epoch:06d}")
 
 
 def _run_overlapped(*thunks) -> None:
@@ -849,8 +859,10 @@ def compact_store(spark: SparkSession, root: str,
         .mode("overwrite").parquet(store.epoch_path("term_stats", next_ep)),
         lambda: write_segments(
             _compact_segments(frags, int(meta["shard_range"]),
-                              n_tasks=n_partitions),
+                              n_tasks=n_partitions,
+                              bloom_scratch=_bloom_scratch_path(store, next_ep)),
             n_partitions, store.epoch_path("segments", next_ep),
+            bloom_scratch=_bloom_scratch_path(store, next_ep),
         ),
     )
     prev_live = [os.path.basename(p) for p in store.segment_paths()]         + [os.path.basename(p) for p in store.term_stats_paths()]
@@ -877,7 +889,8 @@ def compact_store(spark: SparkSession, root: str,
 
 
 def write_segments(compacted, n_partitions: int, path: str,
-                   blooms: bool = True) -> None:
+                   blooms: bool = True,
+                   bloom_scratch: str | None = None) -> None:
     """THE segment write: one file per partition of an input that
     `_compact_segments` already range-partitioned by shard and emitted in
     (term, shard, min_docid) order. ONE FILE PER PARTITION is a
@@ -905,6 +918,16 @@ def write_segments(compacted, n_partitions: int, path: str,
         read path. Trade-off: LocalSearcher(shards=...) per-shard loads
         scan more row groups — a once-per-process load, vs pruning on
         every query."""
+    if bloom_scratch is not None:
+        # clear BEFORE the write job starts: a crashed previous attempt
+        # leaves scratch filters keyed by THAT run's range boundaries
+        # (repartitionByRange re-samples per job), and pairing a stale
+        # filter with a fresh part file would be a FALSE-NEGATIVE bloom
+        # — wrong pruning, wrong results. Empty scratch + rerun is
+        # always safe: this run's tasks repopulate it.
+        import shutil
+
+        shutil.rmtree(bloom_scratch, ignore_errors=True)
     (
         compacted
         .write.option("maxRecordsPerFile", 0)
@@ -920,14 +943,27 @@ def write_segments(compacted, n_partitions: int, path: str,
     # in full. A file with no sidecar is simply never pruned
     # (wand._bloom_prune keeps it — never wrong results), same rule as a
     # crash between the two writes.
+    # bloom_scratch (r7): the compaction kernel — which runs in THIS
+    # write's stage and sees every term of its partition anyway — wrote
+    # each partition's filter to the scratch dir during the write; pair
+    # them with the part files (part number == partition id) instead of
+    # re-reading the fresh segments in a second Spark job. Pass the SAME
+    # path given to _compact_segments(bloom_scratch=...).
     if blooms:
-        from visionsearch_spark.index.bloom import write_segment_blooms
+        from visionsearch_spark.index.bloom import (
+            attach_scratch_blooms,
+            write_segment_blooms,
+        )
 
-        write_segment_blooms(compacted.sparkSession, path)
+        if bloom_scratch is not None and os.path.isdir(bloom_scratch):
+            attach_scratch_blooms(path, bloom_scratch)
+        else:
+            write_segment_blooms(compacted.sparkSession, path)
 
 
 def _compact_segments(frags: DataFrame, shard_range: int,
-                      n_tasks: int | None = None) -> DataFrame:
+                      n_tasks: int | None = None,
+                      bloom_scratch: str | None = None) -> DataFrame:
     """Re-chunk per (term, shard): fragment blocks of one term never overlap
     in docid and never cross shard boundaries, so compaction is
     concat-in-min_docid-order + re-chunk to BLOCK_SIZE (a metadata-level
@@ -947,7 +983,19 @@ def _compact_segments(frags: DataFrame, shard_range: int,
     flush uses — byte-identical output to the old per-run loop, with no
     per-run or per-block Python. A run with any positionless block
     degrades the whole run's pos_bin to NULL (mixed legacy data only —
-    flag-built stores are uniform)."""
+    flag-built stores are uniform).
+
+    bloom_scratch (r7): when set, each kernel task ALSO writes its
+    partition's term Bloom filter to `{bloom_scratch}/pid-NNNNN.bin` —
+    the partition's distinct terms are already in hand as the sorted
+    run boundaries, and because write_segments emits ONE file per
+    partition in the SAME stage (part file number == partition id),
+    this replaces the post-write sidecar job's full re-read of the
+    fresh segments with zero extra passes (guide §1.2 step 1: remove a
+    pass). write_segments attaches the scratch filters to the final
+    file names after the write commits. Atomic per attempt
+    (tmp+replace); retried/speculative attempts rewrite identical
+    bytes, so last-wins is safe."""
     from visionsearch_spark.index.codec import decode_positions, decode_varint
 
     in_cols = ["term", "min_docid", "max_docid", "n", "docids_bin",
@@ -1004,6 +1052,15 @@ def _compact_segments(frags: DataFrame, shard_range: int,
             pos_flat=pos_flat, pos_valid=pos_valid,
             with_shard=True, term_values=run_terms,
         )
+        if bloom_scratch is not None:
+            from visionsearch_spark.index.bloom import write_partition_bloom
+
+            # distinct terms of this partition = run boundaries of the
+            # (term, shard)-sorted run_terms (a term repeats per shard)
+            uniq = np.ones(run_terms.size, dtype=bool)
+            if run_terms.size > 1:
+                uniq[1:] = run_terms[1:] != run_terms[:-1]
+            write_partition_bloom(bloom_scratch, run_terms[uniq].tolist())
         yield from out_batches
 
     n_tasks = n_tasks or frags.sparkSession.sparkContext.defaultParallelism

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from visionsearch_spark.analyzer import tokens_col
+from visionsearch_spark.analyzer import token_count_col
 from visionsearch_spark.docid import assign_docids_with_count
 from visionsearch_spark.index.store import (
     SEGMENT_SCHEMA_DDL,
@@ -158,7 +158,7 @@ def incremental_build(transcripts: DataFrame, root: str,
         toks = (
             with_ids.withColumn("docid", F.col("docid") + F.lit(base))
             .select("docid", "conv_id", "turn_idx", "text")
-            .withColumn("dl", F.size(tokens_col("text")))
+            .withColumn("dl", token_count_col("text"))
         )
         rows_per_pid = max(1, -(-n_new // n_partitions))
         staged = toks.withColumn(
