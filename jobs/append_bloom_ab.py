@@ -1,13 +1,22 @@
-"""A/B (VERDICT r5 #6): append throughput with the Bloom sidecar pass
-deferred to compaction (r6 default) vs written on every append (r5
-behavior), plus tail-term query p50 on the appended store and after the
-compaction that restores full sidecar coverage.
+"""A/B: append throughput with delta sidecars written by the fused
+kernel path (r7 default) vs bare delta dirs (the r6 blooms=False
+deferral), plus tail-term query p50 on the BARE appended store and
+after the compaction that restores full sidecar coverage.
 
 Method: build one base store (90% of the sf0.1 corpus) in /dev/shm,
-then for each rep copy it fresh, append the remaining 10% with blooms
-OFF (current code) and ON (spimi.write_segments patched), alternating
-order across reps; medians reported. Query p50 = median of tail-term
-topk calls on the blooms-off appended store, then after compact_store.
+then for each rep copy it fresh, append the remaining 10% with the
+default code ("on" arm, fused sidecars) and with blooms forced OFF
+("off" arm, spimi.write_segments patched), alternating order across
+reps; medians reported. Query p50 = median of tail-term topk calls on
+the blooms-off appended store, then after compact_store.
+
+History: the r6 invocation of this script used
+functools.partial(write_segments, blooms=True) for its ON arm, which
+call-time blooms=False silently overrides — both r6 arms ran identical
+code and BENCH_AB_r06's "near-null" measured nothing. The first honest
+run (r7, pre-fused-append) read ON 2.35 s vs OFF 1.95 s median (1.20x):
+the old per-append sidecar pass was a real ~17% ingest tax, which the
+fused kernel path then removed.
 
 Usage: python jobs/append_bloom_ab.py [--reps 3] [--out BENCH_AB_r06.jsonl]
 """
@@ -15,7 +24,6 @@ Usage: python jobs/append_bloom_ab.py [--reps 3] [--out BENCH_AB_r06.jsonl]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import shutil
@@ -61,12 +69,18 @@ def main() -> int:
     build_index(base_tx, base, n_partitions=args.cpus)
 
     orig_write = spimi.write_segments
-    bloom_on = functools.partial(orig_write, blooms=True)
+
+    def bloom_off(*a, **k):
+        # force-bare arm; plain keyword injection, NOT functools.partial
+        # (call-time keywords win over partial keywords — the bug that
+        # voided the r6 run of this script, see module docstring)
+        k["blooms"] = False
+        return orig_write(*a, **k)
 
     def one_append(tag: str, forced_on: bool) -> str:
         root = os.path.join(args.work, f"arm-{tag}")
         shutil.copytree(base, root)
-        spimi.write_segments = bloom_on if forced_on else orig_write
+        spimi.write_segments = orig_write if forced_on else bloom_off
         try:
             t0 = time.perf_counter()
             incremental_build(tx, root, n_partitions=args.cpus)
@@ -128,13 +142,14 @@ def main() -> int:
     if args.out:
         with open(args.out, "a") as f:
             f.write(json.dumps({
-                "run": "append_bloom_deferral_ab_r6",
-                "note": "O(delta) append wall time with the Bloom "
-                        "sidecar pass deferred (r6 default) vs written "
-                        "per-append (r5); fresh store copy per rep, "
-                        "arms alternated; tail-term p50 on the "
-                        "unpruned appended store and after the "
-                        "compaction that restores sidecars",
+                "run": "append_fused_sidecars_ab_r7",
+                "note": "O(delta) append wall time with delta "
+                        "sidecars from the fused kernel path (r7 "
+                        "default, ON arm) vs bare delta dirs (r6 "
+                        "deferral, OFF arm); fresh store copy per "
+                        "rep, arms alternated; tail-term p50 on the "
+                        "bare appended store and after the compaction "
+                        "that restores sidecars",
                 "result": res,
             }) + "\n")
     shutil.rmtree(args.work, ignore_errors=True)

@@ -253,41 +253,35 @@ def test_membership_identical_with_and_without_prune(spark, bloom_store,
     assert got == exp and got
 
 
-def test_append_defers_blooms_to_compaction(spark, transcripts,
-                                            tmp_path_factory):
-    """r6 (VERDICT r5 #6): appends skip the Bloom sidecar pass — delta
-    dirs serve unpruned-but-correct until the next full compaction
-    rewrites every file WITH a sidecar."""
+def test_append_writes_sidecars_via_kernel(spark, transcripts,
+                                           tmp_path_factory):
+    """r7 (revisits r6's blooms=False deferral): appends now write delta
+    sidecars through the fused kernel path — no post-write re-read job,
+    no per-file fallback — so delta dirs are born prunable; every
+    sidecar (base + delta + post-compaction) must match its own file's
+    term set."""
+    from unittest import mock
+
     from pyspark.sql import functions as F
 
     from visionsearch_spark.index.spimi import compact_store
     from visionsearch_spark.index.store import IndexStore
-    from visionsearch_spark.query import wand
     from visionsearch_spark.streaming.incremental import incremental_build
 
     root = str(tmp_path_factory.mktemp("bloomappend"))
     base = transcripts.filter(F.col("conv_id") < "conv-000070")
     build_index(base, root, n_partitions=8, n_shards=16)
-    incremental_build(transcripts, root, n_partitions=8)
+
+    def boom(*a, **k):
+        raise AssertionError(f"sidecar fallback used: {a!r}")
+
+    with mock.patch.object(bloom, "write_segment_blooms",
+                           side_effect=boom), \
+            mock.patch.object(bloom, "write_bloom_for_file",
+                              side_effect=boom):
+        incremental_build(transcripts, root, n_partitions=8)
     store = IndexStore(root)
-    dirs = store.segment_paths()
-    assert len(dirs) > 1
-    covered = {d: all(
-        bloom.load_bloom(os.path.join(d, f)) is not None
-        for f in os.listdir(d)
-        if f.endswith(".parquet") and not f.startswith(("_", ".")))
-        for d in dirs}
-    assert sum(covered.values()) == len(dirs) - 1  # only the delta bare
-    # unpruned fallback stays correct: pruning keeps every sidecar-less
-    # file, so a query term living only in the delta still matches
-    files = wand._segment_files(store)
-    kept = wand._bloom_prune(files, ["zzzzneverseen"])
-    delta_dir = next(d for d, ok in covered.items() if not ok)
-    assert all(any(p.startswith(delta_dir) for _s, p in kept2)
-               for kept2 in [kept])  # delta files never pruned away
+    assert len(store.segment_paths()) > 1  # base + delta dirs live
+    _assert_sidecars_match_file_terms(store)
     compact_store(spark, root, n_partitions=8)
-    store = IndexStore(root)
-    for d in store.segment_paths():
-        for f in os.listdir(d):
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                assert bloom.load_bloom(os.path.join(d, f)) is not None
+    _assert_sidecars_match_file_terms(IndexStore(root))

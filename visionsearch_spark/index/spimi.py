@@ -935,20 +935,19 @@ def write_segments(compacted, n_partitions: int, path: str,
         .mode("overwrite")
         .parquet(path)
     )
-    # per-file term Bloom sidecars (planner file pruning; index/bloom.py)
-    # written by the same call for builds and compactions; APPENDS pass
-    # blooms=False (r6, VERDICT r5 #6) — paying the sidecar scan on every
-    # O(delta) append taxed ingest ~5% for pruning that matters on
-    # LONG-LIVED many-file stores, which the next compaction (re)covers
-    # in full. A file with no sidecar is simply never pruned
-    # (wand._bloom_prune keeps it — never wrong results), same rule as a
-    # crash between the two writes.
+    # per-file term Bloom sidecars (planner file pruning; index/bloom.py).
     # bloom_scratch (r7): the compaction kernel — which runs in THIS
     # write's stage and sees every term of its partition anyway — wrote
     # each partition's filter to the scratch dir during the write; pair
     # them with the part files (part number == partition id) instead of
     # re-reading the fresh segments in a second Spark job. Pass the SAME
-    # path given to _compact_segments(bloom_scratch=...).
+    # path given to _compact_segments(bloom_scratch=...). Builds,
+    # compactions AND appends all use it since r7 (the r6 blooms=False
+    # append deferral priced a sidecar as the full re-read job this path
+    # deleted; delta dirs are now born prunable). blooms=False remains
+    # for callers that genuinely want bare files; a file with no sidecar
+    # is simply never pruned (wand._bloom_prune keeps it — never wrong
+    # results), same rule as a crash between the two writes.
     if blooms:
         from visionsearch_spark.index.bloom import (
             attach_scratch_blooms,
@@ -959,6 +958,12 @@ def write_segments(compacted, n_partitions: int, path: str,
             attach_scratch_blooms(path, bloom_scratch)
         else:
             write_segment_blooms(compacted.sparkSession, path)
+    elif bloom_scratch is not None:
+        # bare write over a scratch-writing plan: drop the unused
+        # kernel filters so the scratch dir can't outlive the job
+        import shutil
+
+        shutil.rmtree(bloom_scratch, ignore_errors=True)
 
 
 def _compact_segments(frags: DataFrame, shard_range: int,

@@ -296,21 +296,31 @@ def _finish_append(spark: SparkSession, store: IndexStore, meta: dict,
             write_segments,
         )
 
-        # blooms=False: appends skip the Bloom sidecar pass (ingest pays
-        # O(delta) only); unpruned delta files just fall back to the
-        # never-wrong unpruned path until the next full compaction
-        # rewrites everything WITH sidecars (spimi.write_segments r6).
-        # term_stats and the delta merge are independent jobs — overlap
-        # them (guide §2.6; same pattern as build_index).
+        # Sidecars on appends (r7, revisits the r6 blooms=False
+        # deferral): the r6 decision priced a sidecar as a full
+        # post-write re-read job of the fresh delta (honest cost now
+        # measured: 1.20x on a 10%-delta append — the r6 "near-null"
+        # A/B had a broken ON arm, see jobs/append_bloom_ab.py). The
+        # fused kernel path removed that job: the merge kernel writes
+        # each partition's filter in the write stage for a few ms, so
+        # delta dirs are now born PRUNABLE — on a long-lived LSM store
+        # every tail-term query otherwise fans tasks over every bare
+        # delta file until the next full compaction. term_stats and the
+        # delta merge are independent jobs — overlap them (guide §2.6;
+        # same pattern as build_index).
+        from visionsearch_spark.index.spimi import _bloom_scratch_path
+
         _run_overlapped(
             lambda: frags.groupBy("term").agg(F.sum("n").alias("df"))
             .write.mode("overwrite")
             .parquet(store.epoch_path("term_stats", next_ep)),
             lambda: write_segments(
                 _compact_segments(frags, int(meta["shard_range"]),
-                                  n_tasks=n_partitions),
+                                  n_tasks=n_partitions,
+                                  bloom_scratch=_bloom_scratch_path(
+                                      store, next_ep)),
                 n_partitions, store.epoch_path("segments", next_ep),
-                blooms=False,
+                bloom_scratch=_bloom_scratch_path(store, next_ep),
             ),
         )
         seg_dirs = [os.path.basename(p) for p in store.segment_paths()]
