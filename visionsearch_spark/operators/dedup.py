@@ -107,21 +107,36 @@ def _band_candidates(sig: DataFrame, cross_side: bool = False) -> DataFrame:
     low bit (the cross_contamination encoding: corpus=even, bench=odd),
     with id_a the even side."""
     rows_per_band = N_HASHES // N_BANDS
-    cands = None
-    for b in range(N_BANDS):
-        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        left = sig.select(F.col("id").alias("id_a"), *cols)
-        right = sig.select(F.col("id").alias("id_b"), *cols)
-        if cross_side:
-            left = left.filter(F.col("id_a") % 2 == 0)
-            right = right.filter(F.col("id_b") % 2 == 1)
-            pair = left.join(right, cols).select("id_a", "id_b")
-        else:
-            pair = left.join(right, cols) \
-                .filter(F.col("id_a") < F.col("id_b")) \
-                .select("id_a", "id_b")
-        cands = pair if cands is None else cands.unionByName(pair)
-    return cands.distinct()
+    # One exchange instead of four: explode each signature into
+    # (id, band, k0..k{r-1}) rows and self-join once on
+    # (band, k0..k{r-1}) — band-tagged keys collide only within their
+    # band, so the single join generates exactly the union the old
+    # per-band join loop did (same candidate set, then the same
+    # distinct). The self-join's two sides are the identical subtree,
+    # so the right side rides a ReusedExchange; the old loop shuffled
+    # eight differently-projected sides no reuse could cover.
+    elems = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            *[F.col(f"h{b * rows_per_band + j}").alias(f"k{j}")
+              for j in range(rows_per_band)],
+        )
+        for b in range(N_BANDS)
+    ]
+    rows = sig.select("id", F.explode(F.array(*elems)).alias("bk")) \
+        .select("id", "bk.*")
+    join_cols = ["band"] + [f"k{j}" for j in range(rows_per_band)]
+    left = rows.select(F.col("id").alias("id_a"), *join_cols)
+    right = rows.select(F.col("id").alias("id_b"), *join_cols)
+    if cross_side:
+        left = left.filter(F.col("id_a") % 2 == 0)
+        right = right.filter(F.col("id_b") % 2 == 1)
+        pair = left.join(right, join_cols).select("id_a", "id_b")
+    else:
+        pair = left.join(right, join_cols) \
+            .filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b")
+    return pair.distinct()
 
 
 def _shingle_hash(s) -> "F.Column":
@@ -824,18 +839,29 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     n_bands = max_hamming + 1
     w = -(-n_bits // n_bands)  # ceil: chunks cover all bits
     mask = (1 << w) - 1
-    cands = None
-    for b in range(n_bands):
-        band = F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))
-        s = sig.select("id", band.alias("bv"))
-        pair = (
-            s.select(F.col("id").alias("id_a"), "bv")
-            .join(s.select(F.col("id").alias("id_b"), "bv"), "bv")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    # Single-exchange candidate generation (same trick as
+    # _band_candidates): explode to (id, band, bv) and self-join once on
+    # (band, bv) — the band tag keeps chunks from colliding across
+    # bands, so the one join is exactly the old per-band union, and the
+    # right side reuses the left's exchange.
+    elems = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))
+            .alias("bv"),
         )
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct()
+        for b in range(n_bands)
+    ]
+    rows = sig.select("id", F.explode(F.array(*elems)).alias("bk")) \
+        .select("id", "bk.*")
+    cands = (
+        rows.select(F.col("id").alias("id_a"), "band", "bv")
+        .join(rows.select(F.col("id").alias("id_b"), "band", "bv"),
+              ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
     return (
