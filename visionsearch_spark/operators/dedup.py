@@ -916,7 +916,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          f"have {len(MINHASH_A)}")
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(tokens_col(text_col)).alias("term"))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # cache: tf feeds both the term dictionary and the signature join —
+    # uncached, the tokenize/explode/groupBy subtree runs twice
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")) \
+        .cache()
     dic = dense_ids(tf.select("term").distinct(), "term", out_col="tid")
     h = tf.join(dic, "term").select(
         "id", "tf",
