@@ -540,3 +540,89 @@ def test_duplicate_spans_validates(spark):
 
     with _pytest.raises(ValueError, match="length"):
         duplicate_spans(docs, length=1)
+
+
+def test_hashed_signature_fold_matches_per_hash_reference(spark):
+    """r7 pin: minhash_signatures_hashed computes all N minima in one
+    F.aggregate fold (Catalyst does not CSE across HOF lambdas — N
+    array_min(transform(...)) columns re-evaluated the md5 chain N
+    times). The fold must stay value- AND dtype-identical to the
+    straightforward per-hash reference, including the all-NULL contract
+    for docs too short to shingle and null texts."""
+    from visionsearch_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+        N_HASHES,
+        _shingle_hash,
+        minhash_signatures_hashed,
+    )
+    from visionsearch_spark.analyzer import tokens_col
+
+    edge = [(100, ""), (101, None), (102, "one two"), (103, "one two three"),
+            (104, "İstanbul ß ligature ﬁ x y z")]
+    docs = spark.createDataFrame(DOCS + edge, "doc_id long, text string")
+
+    n = 3
+    toks = tokens_col("text")
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sid = F.transform(sh, _shingle_hash)
+
+    def affine(i):
+        return lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) \
+            % F.lit(MINHASH_PRIME)
+
+    ref = docs.select(
+        F.col("doc_id").alias("id"),
+        *[F.array_min(F.transform(sid, affine(i))).alias(f"h{i}")
+          for i in range(N_HASHES)],
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    got = minhash_signatures_hashed(docs).toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(got.columns) == list(ref.columns)
+    assert list(map(str, got.dtypes)) == list(map(str, ref.dtypes))
+    assert got.equals(ref)
+
+
+def test_band_candidates_single_join_matches_per_band_union(spark):
+    """r7 pin: _band_candidates generates candidates with ONE self-join
+    on band-tagged keys; the pair set must equal the per-band-join
+    union it replaced, in both normal and cross_side modes."""
+    import random
+
+    from visionsearch_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        _band_candidates,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        # small value range forces plenty of band collisions
+        rows.append(tuple([i] + [rng.randrange(3) for _ in range(N_HASHES)]))
+    sig = spark.createDataFrame(
+        rows, "id long, " + ", ".join(f"h{i} long" for i in range(N_HASHES))
+    ).cache()
+
+    rpb = N_HASHES // N_BANDS
+    for cross in (False, True):
+        ref = set()
+        sig_pdf = sig.toPandas()
+        for b in range(N_BANDS):
+            cols = [f"h{i}" for i in range(b * rpb, (b + 1) * rpb)]
+            for _, ra in sig_pdf.iterrows():
+                for _, rb in sig_pdf.iterrows():
+                    if all(ra[c] == rb[c] for c in cols):
+                        ia, ib = int(ra["id"]), int(rb["id"])
+                        if cross:
+                            if ia % 2 == 0 and ib % 2 == 1:
+                                ref.add((ia, ib))
+                        elif ia < ib:
+                            ref.add((ia, ib))
+        got = {(r["id_a"], r["id_b"])
+               for r in _band_candidates(sig, cross_side=cross).collect()}
+        assert got == ref, f"cross_side={cross}"
