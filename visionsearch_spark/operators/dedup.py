@@ -224,11 +224,16 @@ def minhash_pairs_hashed(docs: DataFrame, n: int = 3, min_match: int = 4,
     per doc, and the estimate is the standard streaming trade. Compose
     AFTER exact dedup (dedup_stream / exact_dedup): byte-identical
     texts band-agree everywhere and would pair quadratically."""
-    # cache: _band_candidates references sig 2x per band and the
-    # estimate join 2x more — uncached, each branch re-tokenizes and
-    # re-hashes every shingle (8 affine transforms per shingle per copy)
+    # checkpoint: _band_candidates and the estimate join reference sig
+    # from four plan branches — unmaterialized, each branch re-tokenizes
+    # and re-hashes every shingle. localCheckpoint, not cache(): one
+    # guaranteed computation (cached branches can race-recompute within
+    # one action), a truncated logical plan (these plans carry hundreds
+    # of Exchange nodes — planning itself was a cost), and blocks the
+    # ContextCleaner frees with the frame instead of a CacheManager
+    # entry that leaks per call. Measured 0.72x vs cache() at sf0.01.
     sig = minhash_signatures_hashed(docs, n, text_col, id_col) \
-        .filter(F.col("h0").isNotNull()).cache()
+        .filter(F.col("h0").isNotNull()).localCheckpoint(eager=True)
     cands = _band_candidates(sig)
     a = sig.select(F.col("id").alias("id_a"),
                    *[F.col(f"h{i}").alias(f"ha{i}")
@@ -281,22 +286,24 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
     O(cluster²) to O(distinct²-shaped). Intra-cluster pairs of docs too
     short to shingle are skipped, matching the uncollapsed pipeline
     (no shingles -> no candidates)."""
-    # caches: sids feeds minhash_signatures AND three branches of
-    # _verify_jaccard (sizes, a, b) — uncached, every branch re-runs the
-    # tokenize -> shingle -> distinct -> dictionary -> join chain, the
-    # most expensive subtree of the operator; mem likewise feeds
-    # rep_ids + both expansion joins. MEMORY_AND_DISK (the DataFrame
-    # default) spills rather than recomputes at corpus scale.
+    # checkpoints: sids feeds minhash_signatures AND three branches of
+    # _verify_jaccard (sizes, a, b) — unmaterialized, every branch
+    # re-runs the tokenize -> shingle -> distinct -> dictionary -> join
+    # chain, the most expensive subtree of the operator; mem likewise
+    # feeds rep_ids + both expansion joins. Eager localCheckpoint (see
+    # minhash_pairs_hashed for the cache()-vs-checkpoint rationale)
+    # computes each subtree exactly once and keeps the downstream plan
+    # small; blocks are GC-cleaned with the returned frame.
     if not collapse_exact:
-        sids = shingle_ids(shingles(docs, n, text_col, id_col)).cache()
-        sig = minhash_signatures(sids).cache()
+        sids = shingle_ids(shingles(docs, n, text_col, id_col)).localCheckpoint(eager=True)
+        sig = minhash_signatures(sids).localCheckpoint(eager=True)
         return _verify_jaccard(_band_candidates(sig), sids, tau)
-    mem = _exact_clusters(docs, text_col, id_col).cache()
+    mem = _exact_clusters(docs, text_col, id_col).localCheckpoint(eager=True)
     rep_ids = mem.filter(F.col("id") == F.col("rep")) \
         .select(F.col("id").alias(id_col))
     rep_docs = docs.join(rep_ids, id_col)
-    sids = shingle_ids(shingles(rep_docs, n, text_col, id_col)).cache()
-    sig = minhash_signatures(sids).cache()
+    sids = shingle_ids(shingles(rep_docs, n, text_col, id_col)).localCheckpoint(eager=True)
+    sig = minhash_signatures(sids).localCheckpoint(eager=True)
     rep_pairs = _verify_jaccard(_band_candidates(sig), sids, tau)
     ma = mem.select(F.col("rep").alias("id_a"), F.col("id").alias("_fa"))
     mb = mem.select(F.col("rep").alias("id_b"), F.col("id").alias("_fb"))
@@ -358,18 +365,18 @@ def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
     if collapse_exact:
         # per-side clusters: the union would merge identical texts ACROSS
         # sides into one cluster and lose one side's representative
-        # caches: same re-use structure as minhash_lsh_pairs — sids
-        # feeds the signatures and three _verify_jaccard branches,
+        # checkpoints: same re-use structure as minhash_lsh_pairs —
+        # sids feeds the signatures and three _verify_jaccard branches,
         # mem_c/mem_b feed representative selection + expansion joins
-        mem_c = _exact_clusters(c, text_col, "id").cache()
-        mem_b = _exact_clusters(b, text_col, "id").cache()
+        mem_c = _exact_clusters(c, text_col, "id").localCheckpoint(eager=True)
+        mem_b = _exact_clusters(b, text_col, "id").localCheckpoint(eager=True)
         c_rep = c.join(mem_c.filter(F.col("id") == F.col("rep"))
                        .select("id"), "id")
         b_rep = b.join(mem_b.filter(F.col("id") == F.col("rep"))
                        .select("id"), "id")
         sids = shingle_ids(shingles(c_rep.unionByName(b_rep), n,
-                                    text_col, "id")).cache()
-        sig = minhash_signatures(sids).cache()
+                                    text_col, "id")).localCheckpoint(eager=True)
+        sig = minhash_signatures(sids).localCheckpoint(eager=True)
         rep_pairs = _verify_jaccard(
             _band_candidates(sig, cross_side=True), sids, tau
         )
@@ -384,8 +391,8 @@ def cross_contamination(corpus: DataFrame, benchmark: DataFrame,
         )
     else:
         sids = shingle_ids(shingles(c.unionByName(b), n,
-                                    text_col, "id")).cache()
-        sig = minhash_signatures(sids).cache()
+                                    text_col, "id")).localCheckpoint(eager=True)
+        sig = minhash_signatures(sids).localCheckpoint(eager=True)
         out = _verify_jaccard(
             _band_candidates(sig, cross_side=True), sids, tau
         )
@@ -568,9 +575,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
     pairs, and the DuckDB oracle mirrors the same cap. Pass None to
     disable (test scale only)."""
     sh = shingles(docs, n, text_col, id_col)
-    # cache: sids feeds candidate generation (2 branches), the hot-df
-    # cap, and three _verify_jaccard branches
-    sids = shingle_ids(sh).cache()
+    # checkpoint: sids feeds candidate generation (2 branches), the
+    # hot-df cap, and three _verify_jaccard branches
+    sids = shingle_ids(sh).localCheckpoint(eager=True)
     gen = sids
     if max_shingle_df is not None:
         hot = sids.groupBy("sid").count().filter(F.col("count") > max_shingle_df)
@@ -854,10 +861,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     8-bit chunks whose 256 buckets accumulate quadratic collision mass at
     10^9+ docs — that's why 64 is the default and the contract config.
     Returns (id_a < id_b, hamming:int)."""
-    # cache: the signature (a full tokenize/tf/dictionary/64-bit-sum
-    # aggregation) is referenced by every band branch plus the verify
-    # joins — 6 subtree copies uncached
-    sig = simhash(docs, text_col, id_col, n_bits).cache()
+    # checkpoint: the signature (a full tokenize/tf/dictionary/
+    # 64-bit-sum aggregation) is referenced by the band explode plus the
+    # verify joins — unmaterialized subtree copies otherwise
+    sig = simhash(docs, text_col, id_col, n_bits).localCheckpoint(eager=True)
     n_bands = max_hamming + 1
     w = -(-n_bits // n_bands)  # ceil: chunks cover all bits
     mask = (1 << w) - 1
@@ -916,10 +923,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          f"have {len(MINHASH_A)}")
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(tokens_col(text_col)).alias("term"))
-    # cache: tf feeds both the term dictionary and the signature join —
-    # uncached, the tokenize/explode/groupBy subtree runs twice
+    # checkpoint: tf feeds both the term dictionary and the signature
+    # join — unmaterialized, the tokenize/explode/groupBy subtree runs
+    # twice (dense_ids runs its own prefix-sum action)
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")) \
-        .cache()
+        .localCheckpoint(eager=True)
     dic = dense_ids(tf.select("term").distinct(), "term", out_col="tid")
     h = tf.join(dic, "term").select(
         "id", "tf",

@@ -73,10 +73,14 @@ def weighted_fuse(lists: list[tuple[DataFrame, float]], k: int = 10,
         raise ValueError("weighted_fuse needs at least one scored list")
     parts = []
     for i, (df, wgt) in enumerate(lists):
-        # cache before the normalization agg: the min/max collect is one
-        # action and the fusion join a second — uncached, each list's
-        # full retrieval job (e.g. the BM25 top-depth scan) runs twice
-        df = df.cache()
+        # materialize before the normalization agg: the min/max collect
+        # is one action and the fusion join a second — unmaterialized,
+        # each list's full retrieval job (e.g. the BM25 top-depth scan)
+        # runs twice. localCheckpoint, not cache: checkpoint blocks are
+        # GC-cleaned with the frame, while CacheManager entries leak per
+        # call on a long-lived session (and would side-effect the
+        # caller's own frame). Depth-bounded rows — the blocks are tiny.
+        df = df.localCheckpoint(eager=True)
         row = df.agg(F.min("score").alias("lo"),
                      F.max("score").alias("hi")).collect()[0]
         if row["lo"] is None:  # empty list: contributes nothing
