@@ -1458,6 +1458,17 @@ _ROUND_CHANGED = [
     "bm25_filtered", "bm25_page2", "bm25_boosted", "bm25_synonyms",
     "bm25_querystring", "bm25_explain", "bm25_phrase", "bm25_proximity",
     "bm25_phrase_slop", "hybrid_rrf",
+    # session 3 (same round): dedup-family shared-subtree persistence,
+    # single-join band candidates, one-fold hashed signatures,
+    # weighted_fuse list persistence. All were already tier 2 (not
+    # r6-checked), so listing them here moves them tier2 -> tier1
+    # without changing window membership or the 49-row budget — but the
+    # rotation rule says changed ops MUST be listed, and the listing is
+    # what keeps them in-window if a future round's CORRECTNESS file
+    # turns them green.
+    "dedup_minhash_lsh", "dedup_minhash_stream", "cross_contamination",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_corpus",
+    "simhash64", "simhash_neardup", "hybrid_weighted",
 ]
 
 
